@@ -1,0 +1,92 @@
+"""Cubemap face selection / bilinear lookup tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpt import env
+
+
+def test_face_selection_axes():
+    dirs = jnp.array([
+        [1, 0, 0], [-1, 0, 0],
+        [0, 1, 0], [0, -1, 0],
+        [0, 0, 1], [0, 0, -1],
+    ], jnp.float32)
+    face, s, t = env.cubemap_face_uv(dirs)
+    np.testing.assert_array_equal(np.asarray(face), [0, 1, 2, 3, 4, 5])
+    # axis-aligned directions hit the face center
+    np.testing.assert_allclose(np.asarray(s), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0.5, atol=1e-6)
+
+
+def test_constant_environment_lookup():
+    faces = env.constant_environment((0.25, 0.5, 0.75), size=4)
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(100, 3)).astype(np.float32)
+    out = np.asarray(env.sample_environment(faces, jnp.asarray(dirs)))
+    np.testing.assert_allclose(out, np.tile((0.25, 0.5, 0.75), (100, 1)), rtol=1e-6)
+
+
+def test_distinct_faces():
+    # paint each face a unique color; lookups along axes return that color
+    colors = np.arange(6, dtype=np.float32)[:, None, None, None]
+    faces = jnp.asarray(np.broadcast_to(colors, (6, 8, 8, 3)).copy())
+    dirs = jnp.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                      [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+    out = np.asarray(env.sample_environment(faces, dirs))
+    np.testing.assert_allclose(out[:, 0], np.arange(6), atol=1e-6)
+
+
+def test_gl_uv_orientation():
+    """+Z face: s grows with +x, t grows with -y (GL spec table 8.19)."""
+    size = 16
+    data = np.zeros((6, size, size, 3), np.float32)
+    sv, tv = np.meshgrid(np.arange(size), np.arange(size), indexing="xy")
+    data[4, :, :, 0] = sv / (size - 1)   # red encodes s (column)
+    data[4, :, :, 1] = tv / (size - 1)   # green encodes t (row)
+    faces = jnp.asarray(data)
+    # direction tilted toward +x on the +z face -> larger s -> more red
+    right = np.asarray(env.sample_environment(faces, jnp.array([0.5, 0.0, 1.0])))
+    left = np.asarray(env.sample_environment(faces, jnp.array([-0.5, 0.0, 1.0])))
+    assert right[0] > left[0]
+    # direction tilted toward -y -> larger t -> more green
+    down = np.asarray(env.sample_environment(faces, jnp.array([0.0, -0.5, 1.0])))
+    up = np.asarray(env.sample_environment(faces, jnp.array([0.0, 0.5, 1.0])))
+    assert down[1] > up[1]
+
+
+def test_bilinear_interpolation():
+    """Lookup halfway between two texel centers averages them."""
+    size = 2
+    data = np.zeros((6, size, size, 3), np.float32)
+    data[0, 0, 0] = (1, 0, 0)
+    data[0, 0, 1] = (0, 1, 0)
+    data[0, 1, 0] = (0, 0, 1)
+    data[0, 1, 1] = (1, 1, 0)
+    faces = jnp.asarray(data)
+    out = np.asarray(env.sample_environment(faces, jnp.array([1.0, 0.0, 0.0])))
+    # center of +x face: average of all four texels
+    np.testing.assert_allclose(out, (0.5, 0.5, 0.25), atol=1e-6)
+
+
+def test_srgb_decode():
+    vals = jnp.array([0.0, 0.02, 0.04045, 0.5, 1.0], jnp.float32)
+    got = np.asarray(env.srgb_to_linear(vals))
+    for i, v in enumerate([0.0, 0.02, 0.04045, 0.5, 1.0]):
+        if v < 0.04045:
+            expected = v / 12.92
+        else:
+            expected = ((v + 0.055) / 1.055) ** 2.4
+        np.testing.assert_allclose(got[i], expected, rtol=1e-5, atol=1e-8)
+
+
+def test_lookup_differentiable():
+    faces = env.constant_environment((1.0, 1.0, 1.0), size=4)
+
+    def loss(f):
+        return jnp.sum(env.sample_environment(f, jnp.array([0.3, 0.5, 1.0])))
+
+    g = jax.grad(loss)(faces)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(g)) > 0  # bilinear weights sum to 1 per channel

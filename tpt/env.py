@@ -1,0 +1,125 @@
+"""Environment maps: cubemap storage + differentiable direction lookup.
+
+The reference samples a `samplerCube` for escaped rays
+(res/shaders/PathTracing/compute.glsl:177) — either the precomputed
+atmosphere (RGBA32F) or a file-loaded skybox stored as sRGB with hardware
+decode (src/MainWindow.cs:177-187).  Here an environment is a single
+``f32[6, S, S, 3]`` array in the standard GL face order
+(+X, -X, +Y, -Y, +Z, -Z), and the lookup reproduces the GL cubemap
+face-selection + bilinear filtering rules (magnification path; the reference
+uses Nearest-min/Linear-mag, and direction lookups always magnify).
+
+Seams: GL seamless-cubemap filtering (enabled at src/MainWindow.cs:168)
+averages across faces at edges; we use clamp-to-edge per face instead — a
+sub-texel difference confined to face borders, documented here deliberately.
+
+Everything is differentiable w.r.t. the face data (bilinear weights) and the
+direction (through s/t; face choice is piecewise constant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+FACE_POS_X, FACE_NEG_X, FACE_POS_Y, FACE_NEG_Y, FACE_POS_Z, FACE_NEG_Z = range(6)
+
+
+def constant_environment(color, size: int = 1) -> jnp.ndarray:
+    """A cubemap of one color — handy for tests."""
+    color = jnp.asarray(color, jnp.float32)
+    return jnp.broadcast_to(color, (6, size, size, 3)).astype(jnp.float32)
+
+
+def cubemap_face_uv(direction):
+    """GL cubemap face selection (OpenGL 4.6 spec table 8.19).
+
+    ``direction``: [..., 3] (need not be normalized).
+    Returns (face [...] i32, s [...], t [...]) with s, t in [0, 1]."""
+    d = jnp.asarray(direction, jnp.float32)
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (~x_major) & (ay >= az)
+
+    face = jnp.where(
+        x_major, jnp.where(dx > 0, FACE_POS_X, FACE_NEG_X),
+        jnp.where(y_major, jnp.where(dy > 0, FACE_POS_Y, FACE_NEG_Y),
+                  jnp.where(dz > 0, FACE_POS_Z, FACE_NEG_Z)))
+
+    ma = jnp.where(x_major, ax, jnp.where(y_major, ay, az))
+    sc = jnp.where(
+        x_major, jnp.where(dx > 0, -dz, dz),
+        jnp.where(y_major, dx, jnp.where(dz > 0, dx, -dx)))
+    tc = jnp.where(
+        x_major, -dy,
+        jnp.where(y_major, jnp.where(dy > 0, dz, -dz), -dy))
+
+    # floor in the normal f32 range — subnormals can flush to zero and the
+    # zero-direction sentinel (no-miss lanes) would produce 0*inf = NaN
+    inv_ma = 1.0 / jnp.maximum(ma, jnp.float32(1e-30))
+    s = 0.5 * (sc * inv_ma + 1.0)
+    t = 0.5 * (tc * inv_ma + 1.0)
+    return face.astype(jnp.int32), s, t
+
+
+def sample_environment(faces, direction):
+    """Bilinear cubemap lookup. ``faces``: f32[6, S, S, 3] (row = t, col = s);
+    ``direction``: [..., 3]. Returns [..., 3]."""
+    faces = jnp.asarray(faces, jnp.float32)
+    size = faces.shape[1]
+    face, s, t = cubemap_face_uv(direction)
+
+    x = s * size - 0.5
+    y = t * size - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, size - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, size - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, size - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, size - 1)
+
+    c00 = faces[face, y0, x0]
+    c01 = faces[face, y0, x1]
+    c10 = faces[face, y1, x0]
+    c11 = faces[face, y1, x1]
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def srgb_to_linear(rgb):
+    """Inverse gamma, exact shader formula (compute.glsl:366-369)."""
+    rgb = jnp.asarray(rgb, jnp.float32)
+    return jnp.where(rgb < 0.04045, rgb / 12.92, jnp.power((rgb + 0.055) / 1.055, 2.4))
+
+
+def load_cubemap_files(paths, srgb: bool = True) -> jnp.ndarray:
+    """Load 6 image files (+X,-X,+Y,-Y,+Z,-Z order) into f32[6,S,S,3].
+
+    Mirrors Helper.ParallelLoadCubemapImages (src/Helper.cs:18-50): all faces
+    must be square and equal-sized; sRGB decode on by default (the reference
+    allocates the skybox as Srgb8Alpha8, src/MainWindow.cs:187).
+    """
+    if len(paths) != 6:
+        raise ValueError("a cubemap needs exactly 6 face images")
+    try:
+        from PIL import Image  # pillow ships with matplotlib environments
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("loading image cubemaps requires PIL") from e
+    faces = []
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        if img.shape[0] != img.shape[1]:
+            raise ValueError(f"cubemap face {p} is not square: {img.shape}")
+        faces.append(img)
+    sizes = {f.shape[0] for f in faces}
+    if len(sizes) != 1:
+        raise ValueError(f"cubemap faces disagree in size: {sorted(sizes)}")
+    stack = jnp.asarray(np.stack(faces))
+    return srgb_to_linear(stack) if srgb else stack

@@ -1,0 +1,368 @@
+"""The light-transport integrator core.
+
+This is a faithful re-derivation of the reference GLSL integrator
+(res/shaders/PathTracing/compute.glsl:101-224) in batched, functional form:
+
+  * the per-pixel mutable ``rndSeed`` becomes an explicit uint32 lane state
+    whose draw sites advance in exactly the shader's order (including the
+    data-dependent extra draws inside the refractive branch), so the random
+    stream matches the shader draw-for-draw;
+  * ``break`` becomes an alive mask over a fixed-trip bounce loop;
+  * the environment lookup for escaped rays is *deferred*: a sample misses at
+    most once (the shader breaks immediately after the env fetch), so the
+    kernel records (miss_direction, throughput-at-miss) per sample and the
+    cubemap fetch happens afterwards in plain XLA.  This is exact — nothing
+    downstream of a miss depends on the fetched value.
+
+Deliberate, documented deviations from the shader (which hits undefined
+behavior in these spots):
+  * total internal reflection with zero refraction roughness: the shader
+    normalizes a zero vector (NaN); we fall back to the mirror reflection
+    direction (the physically correct TIR behavior);
+  * normalize() of degenerate vectors is floored at 1e-20 squared length.
+
+Everything is shape-polymorphic over the pixel batch: the oracle calls it on
+[H, W] grids, the Pallas kernel on VPU-aligned tiles, with scene access
+injected via ``scan_fn``/``gather_fn``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .config import MAX_SPHERES, KERNEL_EPSILON
+from .vecmath import dot3, normalize3, where3, max3, mix, mix3
+from .ops.intersect import (FLOAT_MAX, ray_sphere, ray_cuboid,
+                            smallest_positive, sphere_normal, cuboid_normal)
+from .ops.sampling import cosine_sample_hemisphere, uniform_sample_unit_circle
+from .ops.bsdf_math import fresnel_schlick, reflect3, refract3
+from .env import sample_environment
+
+EPS = np.float32(KERNEL_EPSILON)
+
+
+class Winner(NamedTuple):
+    """Per-lane attributes of the closest-hit primitive."""
+    material: jax.Array      # f32[16, *batch] (tpt.materials layout)
+    sphere_center: jax.Array  # f32[3, *batch]
+    sphere_radius: jax.Array  # f32[*batch]
+    cuboid_min: jax.Array     # f32[3, *batch]
+    cuboid_max: jax.Array     # f32[3, *batch]
+    is_sphere: jax.Array      # bool[*batch]
+
+
+# scan_fn(origin, direction) -> (found bool[B], idx i32[B], t f32[B], inside bool[B])
+ScanFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]
+# gather_fn(idx) -> Winner
+GatherFn = Callable[[jax.Array], Winner]
+
+
+def make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids) -> ScanFn:
+    """Sequential closest-hit fold in the shader's scan order
+    (compute.glsl:226-258): all spheres first, then all cuboids, keeping a
+    candidate when ``t2 > 0 && t1 < bestT``.  The fold is order-dependent
+    (a candidate's raw t1 — possibly negative — is compared against the
+    incumbent's smallest-positive T), which we reproduce exactly.
+
+    ``get_sphere(i) -> (cx, cy, cz, r)`` and
+    ``get_cuboid(i) -> (mnx, mny, mnz, mxx, mxy, mxz)`` return scalars;
+    the oracle reads jnp arrays, the Pallas kernel reads SMEM.
+    """
+
+    def scan(origin, direction):
+        batch = origin.shape[1:]
+        nb = (1,) * len(batch)
+        best_t = jnp.full(batch, FLOAT_MAX, jnp.float32)
+        best_idx = jnp.full(batch, -1, jnp.int32)
+        best_inside = jnp.zeros(batch, jnp.bool_)
+
+        def consider(carry, t1, t2, ok, idx):
+            b_t, b_idx, b_in = carry
+            cond = ok & (t2 > 0.0) & (t1 < b_t)
+            t = smallest_positive(t1, t2)
+            inside = t == t2
+            return (jnp.where(cond, t, b_t),
+                    jnp.where(cond, idx, b_idx),
+                    jnp.where(cond, inside, b_in))
+
+        def sphere_body(i, carry):
+            cx, cy, cz, r = get_sphere(i)
+            center = jnp.stack([cx, cy, cz]).reshape((3,) + nb)
+            t1, t2, ok = ray_sphere(origin, direction, center, r)
+            return consider(carry, t1, t2, ok, i)
+
+        def cuboid_body(i, carry):
+            mnx, mny, mnz, mxx, mxy, mxz = get_cuboid(i)
+            mn = jnp.stack([mnx, mny, mnz]).reshape((3,) + nb)
+            mx = jnp.stack([mxx, mxy, mxz]).reshape((3,) + nb)
+            t1, t2, ok = ray_cuboid(origin, direction, mn, mx)
+            return consider(carry, t1, t2, ok, MAX_SPHERES + i)
+
+        carry = (best_t, best_idx, best_inside)
+        carry = jax.lax.fori_loop(0, num_spheres, sphere_body, carry)
+        carry = jax.lax.fori_loop(0, num_cuboids, cuboid_body, carry)
+        best_t, best_idx, best_inside = carry
+        return best_idx >= 0, best_idx, best_t, best_inside
+
+    return scan
+
+
+def make_xla_gather_fn(scene) -> GatherFn:
+    """Winner-attribute gather via XLA gathers (oracle path)."""
+
+    def gather(idx) -> Winner:
+        is_sphere = (idx >= 0) & (idx < MAX_SPHERES)
+        sidx = jnp.clip(idx, 0, MAX_SPHERES - 1)
+        cidx = jnp.clip(idx - MAX_SPHERES, 0, scene.cuboid_min.shape[0] - 1)
+        # [B, k] gathers, moved to leading-component layout
+        smat = jnp.moveaxis(scene.sphere_material[sidx], -1, 0)
+        cmat = jnp.moveaxis(scene.cuboid_material[cidx], -1, 0)
+        mat = jnp.where(is_sphere[None], smat, cmat)
+        spr = jnp.moveaxis(scene.sphere_pos_radius[sidx], -1, 0)
+        return Winner(
+            material=mat,
+            sphere_center=spr[:3],
+            sphere_radius=spr[3],
+            cuboid_min=jnp.moveaxis(scene.cuboid_min[cidx], -1, 0),
+            cuboid_max=jnp.moveaxis(scene.cuboid_max[cidx], -1, 0),
+            is_sphere=is_sphere,
+        )
+
+    return gather
+
+
+def make_scene_scan_fn(scene) -> ScanFn:
+    """Oracle scan over a Scene pytree's padded arrays."""
+
+    def get_sphere(i):
+        row = jax.lax.dynamic_index_in_dim(scene.sphere_pos_radius, i, 0, keepdims=False)
+        return row[0], row[1], row[2], row[3]
+
+    def get_cuboid(i):
+        mn = jax.lax.dynamic_index_in_dim(scene.cuboid_min, i, 0, keepdims=False)
+        mx = jax.lax.dynamic_index_in_dim(scene.cuboid_max, i, 0, keepdims=False)
+        return mn[0], mn[1], mn[2], mx[0], mx[1], mx[2]
+
+    return make_scan_fn(get_sphere, get_cuboid, scene.num_spheres, scene.num_cuboids)
+
+
+@dataclasses.dataclass(frozen=True)
+class PathState:
+    """Per-lane bounce-loop carry."""
+    origin: jax.Array       # f32[3, B]
+    direction: jax.Array    # f32[3, B]
+    throughput: jax.Array   # f32[3, B]
+    radiance: jax.Array     # f32[3, B]   emission picked up so far
+    seed: jax.Array         # u32[B]
+    alive: jax.Array        # bool[B]
+    miss_dir: jax.Array     # f32[3, B]   direction at escape (0 if none yet)
+    miss_thr: jax.Array     # f32[3, B]   throughput at escape (0 if none)
+    ray_count: jax.Array    # i32[B]      traced segments (for Mrays/s)
+
+
+jax.tree_util.register_dataclass(PathState)
+
+
+def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathState:
+    """One bounce of the Radiance loop (compute.glsl:132-182)."""
+    o, d, thr, rad, seed, alive = (state.origin, state.direction, state.throughput,
+                                   state.radiance, state.seed, state.alive)
+
+    found, idx, t, inside = scan_fn(o, d)
+    ray_count = state.ray_count + alive.astype(jnp.int32)
+    hit = alive & found
+    miss = alive & ~found
+
+    w = gather_fn(idx)
+    mat = w.material
+    albedo = mat[0:3]
+    spec0 = mat[3]
+    emissive = mat[4:7]
+    spec_rough = mat[7]
+    absorb = mat[8:11]
+    refr0 = mat[11]
+    refr_rough = mat[12]
+    ior = mat[13]
+
+    hp = o + d * t[None]
+    n_raw = where3(w.is_sphere,
+                   sphere_normal(w.sphere_center, w.sphere_radius[None], hp),
+                   cuboid_normal(w.cuboid_min, w.cuboid_max, hp))
+    n = where3(inside, -n_raw, n_raw)
+
+    # Beer's law when exiting a medium (compute.glsl:145-149)
+    thr = where3(hit & inside, thr * jnp.exp(-absorb * t[None]), thr)
+
+    # --- BSDF lobe probabilities (compute.glsl:184-195) ---
+    n1 = jnp.where(inside, ior, 1.0)
+    n2 = jnp.where(inside, 1.0, ior)
+    fres = fresnel_schlick(dot3(-d, n), n1, n2)
+    spec_f = mix(spec0, jnp.float32(1.0), fres)
+    diffuse_c = 1.0 - spec_f - refr0
+    spec = jnp.where(spec0 > 0.0, spec_f, spec0)
+    refr = jnp.where(spec0 > 0.0, 1.0 - spec_f - diffuse_c, refr0)
+
+    # --- RNG draws, in shader order ---
+    r_z, s1 = rng.random_float01(seed)
+    r_a, s2 = rng.random_float01(s1)
+    diffuse_ray = cosine_sample_hemisphere(n, r_z, r_a)
+    roll, s3 = rng.random_float01(s2)
+    take_spec = spec > roll
+    take_refr = (~take_spec) & (spec + refr > roll)
+    r_z2, s4 = rng.random_float01(s3)
+    r_a2, s5 = rng.random_float01(s4)
+    seed_after_bsdf = jnp.where(take_refr, s5, s3)
+
+    # --- lobe directions ---
+    refl_pure = reflect3(d, n)
+    refl_dir = normalize3(mix3(refl_pure, diffuse_ray, (spec_rough * spec_rough)[None]),
+                          eps=np.float32(1e-20))
+    eta = jnp.where(inside, ior, 1.0 / ior)
+    refr_raw, _tir = refract3(d, n, eta)
+    hemi_neg = cosine_sample_hemisphere(-n, r_z2, r_a2)
+    refr_mixed = mix3(refr_raw, hemi_neg, (refr_rough * refr_rough)[None])
+    refr_len2 = dot3(refr_mixed, refr_mixed)
+    # TIR with ~zero roughness degenerates to the zero vector (shader UB);
+    # defined policy: mirror reflection.
+    refr_dir = where3(refr_len2 > 1e-12,
+                      refr_mixed / jnp.sqrt(jnp.maximum(refr_len2, np.float32(1e-12))),
+                      refl_pure)
+
+    new_d = where3(take_spec, refl_dir, where3(take_refr, refr_dir, diffuse_ray))
+    p = jnp.where(take_spec, spec,
+                  jnp.where(take_refr, refr, 1.0 - spec - refr))
+    p = jnp.maximum(p, EPS)
+    new_o = hp + new_d * EPS
+
+    # --- throughput / radiance updates (compute.glsl:156-164) ---
+    rad = rad + where3(hit, emissive * thr, jnp.float32(0.0))
+    thr_after = jnp.where((hit & ~take_refr)[None], thr * albedo, thr)
+    thr_after = jnp.where(hit[None], thr_after / p[None], thr_after)
+
+    # --- Russian roulette (compute.glsl:166-173) ---
+    p_max = max3(thr_after)
+    rr_roll, s6 = rng.random_float01(seed_after_bsdf)
+    die = rr_roll > p_max
+    thr_after = jnp.where((hit & ~die)[None], thr_after / p_max[None], thr_after)
+
+    # --- escaped rays: defer the environment fetch ---
+    miss_dir = where3(miss, d, state.miss_dir)
+    miss_thr = where3(miss, thr, state.miss_thr)
+
+    return PathState(
+        origin=where3(hit, new_o, o),
+        direction=where3(hit, new_d, d),
+        throughput=where3(hit, thr_after, thr),
+        radiance=rad,
+        seed=jnp.where(hit, s6, seed),
+        alive=hit & ~die,
+        miss_dir=miss_dir,
+        miss_thr=miss_thr,
+        ray_count=ray_count,
+    )
+
+
+class TraceResult(NamedTuple):
+    radiance: jax.Array    # f32[3, B]        emission-path radiance, summed over spp
+    miss_dir: jax.Array    # f32[spp, 3, B]   escape directions (0 where none)
+    miss_thr: jax.Array    # f32[spp, 3, B]   throughput at escape (0 where none)
+    ray_count: jax.Array   # i32[B]           traced segments
+    seed: jax.Array        # u32[B]           final RNG state
+
+
+def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn,
+                inv_proj, inv_view, view_pos,
+                px, py, width: int, height: int, frame,
+                ray_depth: int, spp: int,
+                focal_length, aperture_diameter) -> TraceResult:
+    """Full per-pixel sampling loop (compute.glsl:101-130), environment
+    fetch deferred.  ``px``/``py`` are integer pixel coords (GL convention:
+    y bottom-up) of any batch shape."""
+    batch = px.shape
+    nb = (1,) * len(batch)
+    seed = rng.pixel_seed(px, py, frame)
+    fpx = jnp.asarray(px, jnp.float32)
+    fpy = jnp.asarray(py, jnp.float32)
+
+    # camera basis as broadcastable columns
+    right = inv_view[:3, 0].reshape((3,) + nb)
+    up = inv_view[:3, 1].reshape((3,) + nb)
+    backward = inv_view[:3, 2].reshape((3,) + nb)
+    eye = inv_view[:3, 3].reshape((3,) + nb)
+    view_pos = jnp.asarray(view_pos, jnp.float32).reshape((3,) + nb)
+    focal_length = jnp.asarray(focal_length, jnp.float32)
+    aperture_diameter = jnp.asarray(aperture_diameter, jnp.float32)
+
+    rad_total = jnp.zeros((3,) + batch, jnp.float32)
+    ray_count = jnp.zeros(batch, jnp.int32)
+    miss_dirs = []
+    miss_thrs = []
+
+    for _ in range(spp):
+        # sub-pixel jitter on the pixel's lower-left corner (compute.glsl:113-114)
+        jx, seed = rng.random_float01(seed)
+        jy, seed = rng.random_float01(seed)
+        u = (fpx + jx) / width * 2.0 - 1.0
+        v = (fpy + jy) / height * 2.0 - 1.0
+
+        # eye ray (compute.glsl:352-357): invP @ (u, v, -1, 0), zw := (-1, 0)
+        ex = inv_proj[0, 0] * u + inv_proj[0, 1] * v - inv_proj[0, 2]
+        ey = inv_proj[1, 0] * u + inv_proj[1, 1] * v - inv_proj[1, 2]
+        d = normalize3(right * ex[None] + up * ey[None] - backward)
+        o = jnp.broadcast_to(view_pos, (3,) + batch)
+
+        # thin-lens DoF (compute.glsl:117-121)
+        focal_point = o + d * focal_length
+        r_angle, seed = rng.random_float01(seed)
+        r_radius, seed = rng.random_float01(seed)
+        cx, cy = uniform_sample_unit_circle(r_angle, r_radius)
+        off_x = aperture_diameter * 0.5 * cx
+        off_y = aperture_diameter * 0.5 * cy
+        o = eye + right * off_x[None] + up * off_y[None]
+        d = normalize3(focal_point - o)
+
+        state = PathState(
+            origin=o, direction=d,
+            throughput=jnp.ones((3,) + batch, jnp.float32),
+            radiance=jnp.zeros((3,) + batch, jnp.float32),
+            seed=seed,
+            alive=jnp.ones(batch, jnp.bool_),
+            miss_dir=jnp.zeros((3,) + batch, jnp.float32),
+            miss_thr=jnp.zeros((3,) + batch, jnp.float32),
+            ray_count=ray_count,
+        )
+        state = jax.lax.fori_loop(
+            0, ray_depth, lambda _i, st: bounce_step(st, scan_fn, gather_fn), state)
+
+        rad_total = rad_total + state.radiance
+        miss_dirs.append(state.miss_dir)
+        miss_thrs.append(state.miss_thr)
+        seed = state.seed
+        ray_count = state.ray_count
+
+    return TraceResult(
+        radiance=rad_total,
+        miss_dir=jnp.stack(miss_dirs),
+        miss_thr=jnp.stack(miss_thrs),
+        ray_count=ray_count,
+        seed=seed,
+    )
+
+
+def apply_environment(result: TraceResult, env_faces, spp: int):
+    """Add the deferred environment term and average over spp.
+
+    Returns the frame's per-pixel mean radiance, f32[3, B]."""
+    rad = result.radiance
+    for s in range(spp):
+        dirs = jnp.moveaxis(result.miss_dir[s], 0, -1)
+        envc = jnp.moveaxis(sample_environment(env_faces, dirs), -1, 0)
+        rad = rad + result.miss_thr[s] * envc
+    return rad / np.float32(spp)

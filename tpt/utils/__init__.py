@@ -1,0 +1,3 @@
+from .image import write_png, image_to_uint8_rows
+
+__all__ = ["write_png", "image_to_uint8_rows"]
