@@ -58,6 +58,47 @@ class Winner(NamedTuple):
     is_sphere: jax.Array      # bool[*batch]
 
 
+class CameraParams(NamedTuple):
+    """Camera inputs as plain scalars — Mosaic-friendly (no small-vector
+    construction inside kernels; scalars broadcast to lane tiles natively).
+
+    ``ip??`` are inverse-projection elements used by the eye-ray transform;
+    ``right``/``up``/``backward``/``eye`` are the inverse-view columns."""
+    ip00: jax.Array
+    ip01: jax.Array
+    ip02: jax.Array
+    ip10: jax.Array
+    ip11: jax.Array
+    ip12: jax.Array
+    right: Tuple[jax.Array, jax.Array, jax.Array]
+    up: Tuple[jax.Array, jax.Array, jax.Array]
+    backward: Tuple[jax.Array, jax.Array, jax.Array]
+    eye: Tuple[jax.Array, jax.Array, jax.Array]
+    focal_length: jax.Array
+    aperture_diameter: jax.Array
+
+
+def camera_params(inv_proj, inv_view, focal_length, aperture_diameter) -> CameraParams:
+    """Build CameraParams from 4x4 inverse matrices (element extraction only).
+
+    The view position is inv_view's translation column — identical to the
+    ViewPos the reference uploads (Camera.Position, src/MainWindow.cs:132)."""
+    col = lambda j: (inv_view[0, j], inv_view[1, j], inv_view[2, j])
+    return CameraParams(
+        ip00=inv_proj[0, 0], ip01=inv_proj[0, 1], ip02=inv_proj[0, 2],
+        ip10=inv_proj[1, 0], ip11=inv_proj[1, 1], ip12=inv_proj[1, 2],
+        right=col(0), up=col(1), backward=col(2), eye=col(3),
+        focal_length=jnp.asarray(focal_length, jnp.float32),
+        aperture_diameter=jnp.asarray(aperture_diameter, jnp.float32),
+    )
+
+
+def _splat(components, batch) -> jax.Array:
+    """Broadcast 3 scalars to f32[3, *batch] without forming tiny vectors."""
+    return jnp.stack([jnp.broadcast_to(jnp.asarray(c, jnp.float32), batch)
+                      for c in components])
+
+
 # scan_fn(origin, direction) -> (found bool[B], idx i32[B], t f32[B], inside bool[B])
 ScanFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]
 # gather_fn(idx) -> Winner
@@ -78,30 +119,30 @@ def make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids) -> ScanFn:
 
     def scan(origin, direction):
         batch = origin.shape[1:]
-        nb = (1,) * len(batch)
         best_t = jnp.full(batch, FLOAT_MAX, jnp.float32)
         best_idx = jnp.full(batch, -1, jnp.int32)
-        best_inside = jnp.zeros(batch, jnp.bool_)
+        # loop-carried flags are i32, not bool: Mosaic has no i1-vector selects
+        best_inside = jnp.zeros(batch, jnp.int32)
 
         def consider(carry, t1, t2, ok, idx):
             b_t, b_idx, b_in = carry
             cond = ok & (t2 > 0.0) & (t1 < b_t)
             t = smallest_positive(t1, t2)
-            inside = t == t2
+            inside = (t == t2).astype(jnp.int32)
             return (jnp.where(cond, t, b_t),
                     jnp.where(cond, idx, b_idx),
                     jnp.where(cond, inside, b_in))
 
         def sphere_body(i, carry):
             cx, cy, cz, r = get_sphere(i)
-            center = jnp.stack([cx, cy, cz]).reshape((3,) + nb)
+            center = _splat((cx, cy, cz), batch)
             t1, t2, ok = ray_sphere(origin, direction, center, r)
             return consider(carry, t1, t2, ok, i)
 
         def cuboid_body(i, carry):
             mnx, mny, mnz, mxx, mxy, mxz = get_cuboid(i)
-            mn = jnp.stack([mnx, mny, mnz]).reshape((3,) + nb)
-            mx = jnp.stack([mxx, mxy, mxz]).reshape((3,) + nb)
+            mn = _splat((mnx, mny, mnz), batch)
+            mx = _splat((mxx, mxy, mxz), batch)
             t1, t2, ok = ray_cuboid(origin, direction, mn, mx)
             return consider(carry, t1, t2, ok, MAX_SPHERES + i)
 
@@ -109,7 +150,7 @@ def make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids) -> ScanFn:
         carry = jax.lax.fori_loop(0, num_spheres, sphere_body, carry)
         carry = jax.lax.fori_loop(0, num_cuboids, cuboid_body, carry)
         best_t, best_idx, best_inside = carry
-        return best_idx >= 0, best_idx, best_t, best_inside
+        return best_idx >= 0, best_idx, best_t, best_inside != 0
 
     return scan
 
@@ -138,8 +179,12 @@ def make_xla_gather_fn(scene) -> GatherFn:
     return gather
 
 
-def make_scene_scan_fn(scene) -> ScanFn:
-    """Oracle scan over a Scene pytree's padded arrays."""
+def make_scene_scan_fn(scene, counts: Tuple[int, int] | None = None) -> ScanFn:
+    """Oracle scan over a Scene pytree's padded arrays.
+
+    ``counts``: optional static (n_spheres, n_cuboids).  Needed when the scan
+    will be reverse-mode differentiated — jax.grad cannot transpose loops
+    with traced trip counts."""
 
     def get_sphere(i):
         row = jax.lax.dynamic_index_in_dim(scene.sphere_pos_radius, i, 0, keepdims=False)
@@ -150,7 +195,8 @@ def make_scene_scan_fn(scene) -> ScanFn:
         mx = jax.lax.dynamic_index_in_dim(scene.cuboid_max, i, 0, keepdims=False)
         return mn[0], mn[1], mn[2], mx[0], mx[1], mx[2]
 
-    return make_scan_fn(get_sphere, get_cuboid, scene.num_spheres, scene.num_cuboids)
+    ns, nc = counts if counts is not None else (scene.num_spheres, scene.num_cuboids)
+    return make_scan_fn(get_sphere, get_cuboid, ns, nc)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +207,7 @@ class PathState:
     throughput: jax.Array   # f32[3, B]
     radiance: jax.Array     # f32[3, B]   emission picked up so far
     seed: jax.Array         # u32[B]
-    alive: jax.Array        # bool[B]
+    alive: jax.Array        # i32[B] (0/1; i32 because Mosaic lacks i1 selects)
     miss_dir: jax.Array     # f32[3, B]   direction at escape (0 if none yet)
     miss_thr: jax.Array     # f32[3, B]   throughput at escape (0 if none)
     ray_count: jax.Array    # i32[B]      traced segments (for Mrays/s)
@@ -172,11 +218,12 @@ jax.tree_util.register_dataclass(PathState)
 
 def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathState:
     """One bounce of the Radiance loop (compute.glsl:132-182)."""
-    o, d, thr, rad, seed, alive = (state.origin, state.direction, state.throughput,
-                                   state.radiance, state.seed, state.alive)
+    o, d, thr, rad, seed = (state.origin, state.direction, state.throughput,
+                            state.radiance, state.seed)
+    alive = state.alive != 0
 
     found, idx, t, inside = scan_fn(o, d)
-    ray_count = state.ray_count + alive.astype(jnp.int32)
+    ray_count = state.ray_count + state.alive
     hit = alive & found
     miss = alive & ~found
 
@@ -191,18 +238,28 @@ def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathS
     refr_rough = mat[12]
     ior = mat[13]
 
-    hp = o + d * t[None]
+    # Safe-where hygiene: every input that is +-inf/garbage on masked-out
+    # lanes is neutralized *before* entering differentiable math — a masked
+    # jnp.where blocks NaN values but not NaN gradients (0-cotangent times
+    # an infinite local derivative is NaN).  Forward results are unchanged:
+    # the masked lanes never contribute.
+    t_safe = jnp.where(found, t, 1.0)            # miss lanes carry FLOAT_MAX
+    ior_safe = jnp.maximum(ior, EPS)             # padded materials carry 0
+
+    hp = o + d * t_safe[None]
     n_raw = where3(w.is_sphere,
-                   sphere_normal(w.sphere_center, w.sphere_radius[None], hp),
+                   sphere_normal(w.sphere_center,
+                                 jnp.maximum(w.sphere_radius, EPS)[None], hp),
                    cuboid_normal(w.cuboid_min, w.cuboid_max, hp))
     n = where3(inside, -n_raw, n_raw)
 
     # Beer's law when exiting a medium (compute.glsl:145-149)
-    thr = where3(hit & inside, thr * jnp.exp(-absorb * t[None]), thr)
+    t_beer = jnp.where(hit & inside, t_safe, 0.0)
+    thr = where3(hit & inside, thr * jnp.exp(-absorb * t_beer[None]), thr)
 
     # --- BSDF lobe probabilities (compute.glsl:184-195) ---
-    n1 = jnp.where(inside, ior, 1.0)
-    n2 = jnp.where(inside, 1.0, ior)
+    n1 = jnp.where(inside, ior_safe, 1.0)
+    n2 = jnp.where(inside, 1.0, ior_safe)
     fres = fresnel_schlick(dot3(-d, n), n1, n2)
     spec_f = mix(spec0, jnp.float32(1.0), fres)
     diffuse_c = 1.0 - spec_f - refr0
@@ -224,7 +281,7 @@ def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathS
     refl_pure = reflect3(d, n)
     refl_dir = normalize3(mix3(refl_pure, diffuse_ray, (spec_rough * spec_rough)[None]),
                           eps=np.float32(1e-20))
-    eta = jnp.where(inside, ior, 1.0 / ior)
+    eta = jnp.where(inside, ior_safe, 1.0 / ior_safe)
     refr_raw, _tir = refract3(d, n, eta)
     hemi_neg = cosine_sample_hemisphere(-n, r_z2, r_a2)
     refr_mixed = mix3(refr_raw, hemi_neg, (refr_rough * refr_rough)[None])
@@ -250,7 +307,9 @@ def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathS
     p_max = max3(thr_after)
     rr_roll, s6 = rng.random_float01(seed_after_bsdf)
     die = rr_roll > p_max
-    thr_after = jnp.where((hit & ~die)[None], thr_after / p_max[None], thr_after)
+    survive = hit & ~die
+    p_max_safe = jnp.where(survive, p_max, 1.0)
+    thr_after = jnp.where(survive[None], thr_after / p_max_safe[None], thr_after)
 
     # --- escaped rays: defer the environment fetch ---
     miss_dir = where3(miss, d, state.miss_dir)
@@ -262,7 +321,7 @@ def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathS
         throughput=where3(hit, thr_after, thr),
         radiance=rad,
         seed=jnp.where(hit, s6, seed),
-        alive=hit & ~die,
+        alive=(hit & ~die).astype(jnp.int32),
         miss_dir=miss_dir,
         miss_thr=miss_thr,
         ray_count=ray_count,
@@ -277,31 +336,31 @@ class TraceResult(NamedTuple):
     seed: jax.Array        # u32[B]           final RNG state
 
 
-def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn,
-                inv_proj, inv_view, view_pos,
+def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn, cam: CameraParams,
                 px, py, width: int, height: int, frame,
-                ray_depth: int, spp: int,
-                focal_length, aperture_diameter) -> TraceResult:
+                ray_depth: int, spp: int) -> TraceResult:
     """Full per-pixel sampling loop (compute.glsl:101-130), environment
     fetch deferred.  ``px``/``py`` are integer pixel coords (GL convention:
     y bottom-up) of any batch shape."""
     batch = px.shape
-    nb = (1,) * len(batch)
     seed = rng.pixel_seed(px, py, frame)
     fpx = jnp.asarray(px, jnp.float32)
     fpy = jnp.asarray(py, jnp.float32)
 
-    # camera basis as broadcastable columns
-    right = inv_view[:3, 0].reshape((3,) + nb)
-    up = inv_view[:3, 1].reshape((3,) + nb)
-    backward = inv_view[:3, 2].reshape((3,) + nb)
-    eye = inv_view[:3, 3].reshape((3,) + nb)
-    view_pos = jnp.asarray(view_pos, jnp.float32).reshape((3,) + nb)
-    focal_length = jnp.asarray(focal_length, jnp.float32)
-    aperture_diameter = jnp.asarray(aperture_diameter, jnp.float32)
+    # camera basis splatted over the batch
+    right = _splat(cam.right, batch)
+    up = _splat(cam.up, batch)
+    backward = _splat(cam.backward, batch)
+    eye = _splat(cam.eye, batch)
+    focal_length = jnp.asarray(cam.focal_length, jnp.float32)
+    aperture_diameter = jnp.asarray(cam.aperture_diameter, jnp.float32)
 
-    rad_total = jnp.zeros((3,) + batch, jnp.float32)
-    ray_count = jnp.zeros(batch, jnp.int32)
+    # Derive loop-carry initializers from lane data rather than constant
+    # splats: Mosaic cannot relayout replicated->concrete across loop carries.
+    zero_lane = fpx * 0.0
+    zero_v3 = jnp.stack([zero_lane, zero_lane, zero_lane])
+    rad_total = zero_v3
+    ray_count = jnp.asarray(px, jnp.int32) * 0
     miss_dirs = []
     miss_thrs = []
 
@@ -313,10 +372,10 @@ def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn,
         v = (fpy + jy) / height * 2.0 - 1.0
 
         # eye ray (compute.glsl:352-357): invP @ (u, v, -1, 0), zw := (-1, 0)
-        ex = inv_proj[0, 0] * u + inv_proj[0, 1] * v - inv_proj[0, 2]
-        ey = inv_proj[1, 0] * u + inv_proj[1, 1] * v - inv_proj[1, 2]
+        ex = cam.ip00 * u + cam.ip01 * v - cam.ip02
+        ey = cam.ip10 * u + cam.ip11 * v - cam.ip12
         d = normalize3(right * ex[None] + up * ey[None] - backward)
-        o = jnp.broadcast_to(view_pos, (3,) + batch)
+        o = eye  # ViewPos == inv_view translation (src/MainWindow.cs:132)
 
         # thin-lens DoF (compute.glsl:117-121)
         focal_point = o + d * focal_length
@@ -330,16 +389,18 @@ def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn,
 
         state = PathState(
             origin=o, direction=d,
-            throughput=jnp.ones((3,) + batch, jnp.float32),
-            radiance=jnp.zeros((3,) + batch, jnp.float32),
+            throughput=zero_v3 + 1.0,
+            radiance=zero_v3,
             seed=seed,
-            alive=jnp.ones(batch, jnp.bool_),
-            miss_dir=jnp.zeros((3,) + batch, jnp.float32),
-            miss_thr=jnp.zeros((3,) + batch, jnp.float32),
+            alive=ray_count * 0 + 1,
+            miss_dir=zero_v3,
+            miss_thr=zero_v3,
             ray_count=ray_count,
         )
-        state = jax.lax.fori_loop(
-            0, ray_depth, lambda _i, st: bounce_step(st, scan_fn, gather_fn), state)
+        # Unrolled bounce loop: trip count is static (<= 50) and unrolling
+        # sidesteps Mosaic's layout unification on large loop carries.
+        for _bounce in range(ray_depth):
+            state = bounce_step(state, scan_fn, gather_fn)
 
         rad_total = rad_total + state.radiance
         miss_dirs.append(state.miss_dir)

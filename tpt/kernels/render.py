@@ -1,0 +1,43 @@
+"""Frame renderer on the Pallas path: kernel transport + XLA environment fetch.
+
+Same public contract as tpt.reference.render_frame, so callers (CLI,
+progressive loop, benchmarks) switch backends freely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import camera_matrices
+from ..config import CameraConfig, RenderConfig
+from ..integrator import apply_environment
+from ..scene import Scene
+from .trace import pallas_trace
+
+
+@partial(jax.jit, static_argnames=("width", "height", "ray_depth", "spp"))
+def render_fields(scene: Scene, env_faces, inv_proj, inv_view, view_pos, frame,
+                  focal_length, aperture_diameter,
+                  *, width: int, height: int, ray_depth: int, spp: int
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """One frame's mean radiance via the Pallas kernel.
+    Returns (image f32[H, W, 3], rays i32)."""
+    del view_pos  # the kernel derives it from inv_view's translation column
+    res = pallas_trace(scene, inv_proj, inv_view, frame,
+                       focal_length, aperture_diameter,
+                       width=width, height=height, ray_depth=ray_depth, spp=spp)
+    mean = apply_environment(res, env_faces, spp)
+    return jnp.moveaxis(mean, 0, -1), jnp.sum(res.ray_count)
+
+
+def render_frame(scene: Scene, env_faces, camera: CameraConfig,
+                 cfg: RenderConfig, frame: int) -> Tuple[jax.Array, jax.Array]:
+    inv_proj, inv_view, pos = camera_matrices(camera, cfg.width, cfg.height)
+    return render_fields(
+        scene, env_faces, inv_proj, inv_view, pos, jnp.int32(frame),
+        jnp.float32(camera.focal_length), jnp.float32(camera.aperture_diameter),
+        width=cfg.width, height=cfg.height, ray_depth=cfg.ray_depth, spp=cfg.spp)

@@ -1,0 +1,205 @@
+"""Pallas TPU path-tracing kernel.
+
+The production counterpart of the GLSL compute kernel
+(res/shaders/PathTracing/compute.glsl): the image is flattened and tiled into
+(TILE_ROWS, 128) VPU-shaped pixel tiles; the grid walks tiles; each grid step
+runs the *shared* integrator (tpt.integrator — the same code the XLA oracle
+executes) over one tile:
+
+  * scene geometry and materials live in SMEM: the closest-hit fold reads
+    per-primitive scalars that broadcast over the whole tile (the UBO
+    analogue — the scene is uniform across pixels, so scalar memory is the
+    right home, exactly like the shader's uniform buffer);
+  * per-lane state (ray origin/direction/throughput/seed/...) are
+    (TILE_ROWS, 128) f32/u32 registers;
+  * the winner-attribute gather is a second primitive loop of masked
+    broadcast-selects (no per-lane dynamic addressing needed — TPU-friendly);
+  * the environment fetch is deferred to plain XLA outside the kernel
+    (see tpt.integrator docstring: exact, since a sample misses at most once).
+
+Because the kernel and the oracle share every line of transport math, their
+outputs agree draw-for-draw; tests assert allclose at tight tolerance.
+
+On non-TPU backends the kernel runs in interpreter mode (tests/CI).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MAX_SPHERES, MAX_CUBOIDS
+from ..integrator import (CameraParams, TraceResult, Winner,
+                          make_scan_fn, trace_paths)
+
+LANES = 128
+DEFAULT_TILE_ROWS = 8
+
+
+def _kernel(counts_ref, frame_ref, cam_ref,
+            sphere_geom_ref, sphere_mat_ref, cuboid_geom_ref, cuboid_mat_ref,
+            px_ref, py_ref,
+            rad_ref, missd_ref, misst_ref, rays_ref, seed_ref,
+            *, width: int, height: int, ray_depth: int, spp: int):
+    num_spheres = counts_ref[0]
+    num_cuboids = counts_ref[1]
+    frame = frame_ref[0]
+
+    iv = lambda r, c: cam_ref[16 + r * 4 + c]
+    cam = CameraParams(
+        ip00=cam_ref[0], ip01=cam_ref[1], ip02=cam_ref[2],
+        ip10=cam_ref[4], ip11=cam_ref[5], ip12=cam_ref[6],
+        right=(iv(0, 0), iv(1, 0), iv(2, 0)),
+        up=(iv(0, 1), iv(1, 1), iv(2, 1)),
+        backward=(iv(0, 2), iv(1, 2), iv(2, 2)),
+        eye=(iv(0, 3), iv(1, 3), iv(2, 3)),
+        focal_length=cam_ref[32],
+        aperture_diameter=cam_ref[33],
+    )
+
+    def get_sphere(i):
+        return (sphere_geom_ref[i, 0], sphere_geom_ref[i, 1],
+                sphere_geom_ref[i, 2], sphere_geom_ref[i, 3])
+
+    def get_cuboid(i):
+        return (cuboid_geom_ref[i, 0], cuboid_geom_ref[i, 1], cuboid_geom_ref[i, 2],
+                cuboid_geom_ref[i, 4], cuboid_geom_ref[i, 5], cuboid_geom_ref[i, 6])
+
+    scan = make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids)
+
+    def gather(idx) -> Winner:
+        batch = idx.shape
+
+        def sel_vec(mask, scalars, carried):
+            vec = jnp.stack([jnp.broadcast_to(s, batch) for s in scalars])
+            return jnp.where(mask[None], vec, carried)
+
+        mat = jnp.zeros((16,) + batch, jnp.float32)
+        s_center = jnp.zeros((3,) + batch, jnp.float32)
+        s_radius = jnp.zeros(batch, jnp.float32)
+        c_min = jnp.zeros((3,) + batch, jnp.float32)
+        c_max = jnp.zeros((3,) + batch, jnp.float32)
+
+        def sphere_body(i, carry):
+            mat, s_center, s_radius = carry
+            m = idx == i
+            mat = sel_vec(m, [sphere_mat_ref[i, k] for k in range(16)], mat)
+            s_center = sel_vec(m, [sphere_geom_ref[i, k] for k in range(3)], s_center)
+            s_radius = jnp.where(m, sphere_geom_ref[i, 3], s_radius)
+            return mat, s_center, s_radius
+
+        mat, s_center, s_radius = jax.lax.fori_loop(
+            0, num_spheres, sphere_body, (mat, s_center, s_radius))
+
+        def cuboid_body(i, carry):
+            mat, c_min, c_max = carry
+            m = idx == MAX_SPHERES + i
+            mat = sel_vec(m, [cuboid_mat_ref[i, k] for k in range(16)], mat)
+            c_min = sel_vec(m, [cuboid_geom_ref[i, k] for k in range(3)], c_min)
+            c_max = sel_vec(m, [cuboid_geom_ref[i, k] for k in range(4, 7)], c_max)
+            return mat, c_min, c_max
+
+        mat, c_min, c_max = jax.lax.fori_loop(
+            0, num_cuboids, cuboid_body, (mat, c_min, c_max))
+
+        return Winner(material=mat, sphere_center=s_center, sphere_radius=s_radius,
+                      cuboid_min=c_min, cuboid_max=c_max,
+                      is_sphere=(idx >= 0) & (idx < MAX_SPHERES))
+
+    res = trace_paths(scan, gather, cam, px_ref[:], py_ref[:],
+                      width, height, frame, ray_depth, spp)
+
+    rad_ref[:] = res.radiance
+    missd_ref[:] = res.miss_dir
+    misst_ref[:] = res.miss_thr
+    rays_ref[:] = res.ray_count
+    seed_ref[:] = res.seed
+
+
+def _scene_smem_arrays(scene):
+    """Pack the scene for SMEM: sphere f32[256,4]; cuboid f32[64,8] as
+    (min.xyz, pad, max.xyz, pad) — the std140 vec3 stride, incidentally."""
+    pad = jnp.zeros((MAX_CUBOIDS, 1), jnp.float32)
+    cuboid_geom = jnp.concatenate(
+        [scene.cuboid_min, pad, scene.cuboid_max, pad], axis=1)
+    return scene.sphere_pos_radius, scene.sphere_material, cuboid_geom, scene.cuboid_material
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
+                                             "spp", "tile_rows", "interpret"))
+def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diameter,
+                 *, width: int, height: int, ray_depth: int, spp: int,
+                 tile_rows: int = DEFAULT_TILE_ROWS,
+                 interpret: bool | None = None) -> TraceResult:
+    """Trace every pixel of a width x height frame on TPU.
+
+    Returns a TraceResult with batch shape (height, width) — same contract as
+    the oracle's trace, so tpt.integrator.apply_environment works on either.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    tile = tile_rows * LANES
+    npix = width * height
+    npad = -(-npix // tile) * tile
+    rows = npad // LANES
+    grid = (rows // tile_rows,)
+
+    flat = jnp.arange(npad, dtype=jnp.int32)
+    px = (flat % width).reshape(rows, LANES)
+    py = jnp.minimum(flat // width, height - 1).reshape(rows, LANES)
+
+    cam = jnp.concatenate([
+        jnp.asarray(inv_proj, jnp.float32).ravel(),
+        jnp.asarray(inv_view, jnp.float32).ravel(),
+        jnp.asarray(focal_length, jnp.float32).reshape(1),
+        jnp.asarray(aperture_diameter, jnp.float32).reshape(1),
+    ])
+    counts = jnp.stack([scene.num_spheres, scene.num_cuboids]).astype(jnp.int32)
+    frame = jnp.asarray(frame, jnp.int32).reshape(1)
+    sphere_geom, sphere_mat, cuboid_geom, cuboid_mat = _scene_smem_arrays(scene)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    vec3_spec = pl.BlockSpec((3, tile_rows, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    miss_spec = pl.BlockSpec((spp, 3, tile_rows, LANES), lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, width=width, height=height,
+                               ray_depth=ray_depth, spp=spp)
+    rad, missd, misst, rays, seed = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                  tile_spec, tile_spec],
+        out_specs=(vec3_spec, miss_spec, miss_spec, tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((spp, 3, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((spp, 3, rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(counts, frame, cam, sphere_geom, sphere_mat, cuboid_geom, cuboid_mat, px, py)
+
+    def unflatten(a):
+        # [..., rows, LANES] -> [..., height, width]
+        lead = a.shape[:-2]
+        a = a.reshape(lead + (npad,))[..., :npix]
+        return a.reshape(lead + (height, width))
+
+    return TraceResult(radiance=unflatten(rad), miss_dir=unflatten(missd),
+                       miss_thr=unflatten(misst), ray_count=unflatten(rays),
+                       seed=unflatten(seed))

@@ -34,5 +34,8 @@ def refract3(incident, normal, eta):
     n_dot_i = dot3(normal, incident)
     k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
     tir = k < 0.0
-    out = eta * incident - (eta * n_dot_i + jnp.sqrt(jnp.maximum(k, 0.0))) * normal
+    # sqrt guard is 1.0 on TIR lanes: sqrt'(0) is infinite and would turn the
+    # masked branch's zero tangent into NaN
+    sq = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(k, 0.0)))
+    out = eta * incident - (eta * n_dot_i + sq) * normal
     return jnp.where(tir[None], 0.0, out), tir

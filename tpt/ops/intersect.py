@@ -27,7 +27,9 @@ def ray_sphere(origin, direction, center, radius):
     c = dot3(oc, oc) - radius * radius
     disc = b * b - c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # guard value 1.0 (not max(disc,0)): sqrt at exactly 0 has an infinite
+    # derivative and the masked-out lanes would emit NaN *tangents*
+    sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
     t1 = -b - sq
     t2 = -b + sq
     # GLSL additionally returns t1 <= t2, which holds whenever disc >= 0.

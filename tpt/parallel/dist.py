@@ -1,0 +1,231 @@
+"""Multi-chip sharded rendering and inverse-rendering training.
+
+The reference is strictly single-GPU (SURVEY.md §2.3) — this module is the
+from-scratch scaling story, designed for TPU meshes:
+
+  * mesh axes ``('dp', 'sp')``: ``dp`` shards *pixel rows* (image data
+    parallelism — the natural axis of a path tracer: every pixel is
+    independent), ``sp`` shards the *sample* axis (the honest
+    sequence-parallel analogue: independent Monte-Carlo estimates of the
+    same pixels, combined with a psum-mean over ICI).  TP/PP/EP have no
+    analogue in a path tracer — there is no parameter matmul to split.
+  * scene and camera parameters are replicated; the per-shard image block
+    stays resident on its device; the only cross-device traffic is the
+    O(H*W/dp) psum over ``sp`` and, in training, the O(|params|) gradient
+    psum — both inserted by shard_map/autodiff, riding ICI.
+  * ``sp`` sharding redefines the estimator (each sample shard draws an
+    independent RNG stream via an offset frame index) — equally unbiased,
+    but not bit-identical to the sequential-spp reference stream.  ``dp``
+    sharding is bit-exact: seeds depend only on absolute pixel coords.
+  * multi-host: initialize with ``jax.distributed.initialize()`` before
+    building the mesh from ``jax.devices()``; shard ``dp`` across hosts
+    (each host renders a horizontal band) and keep ``sp`` intra-host so the
+    psum-mean rides ICI, not DCN.
+
+Gradient notes: jax.grad flows through the whole renderer — bilinear env
+weights, Beer exponents, Fresnel, intersection distances, thin-lens optics.
+Discrete decisions (lobe pick, RR survival, closest-hit winner) are
+piecewise-constant (jnp.where), so their gradients are the standard
+detached-decision estimator of differentiable path tracing: exact for the
+continuous factors, biased at decision boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+# constant loop-carry inits inside the integrator are unvarying w.r.t. the
+# mesh; disable the varying-manual-axes check rather than pcast every init
+shard_map = functools.partial(jax.shard_map, check_vma=False)
+
+from ..config import RenderConfig
+from ..integrator import (apply_environment, camera_params, make_scene_scan_fn,
+                          make_xla_gather_fn, trace_paths)
+from ..scene import Scene
+
+
+def make_mesh(dp: Optional[int] = None, sp: int = 1, devices=None) -> Mesh:
+    """Build a ('dp', 'sp') mesh. Defaults: all devices on dp."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if dp is None:
+        dp = n // sp
+    if dp * sp != n:
+        raise ValueError(f"dp*sp = {dp}*{sp} != {n} devices")
+    return Mesh(devices.reshape(dp, sp), ("dp", "sp"))
+
+
+def _pad_rows(height: int, dp: int) -> int:
+    return -(-height // dp) * dp
+
+
+def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None):
+    """Sharded frame renderer.
+
+    Returns jit(fn)(scene, env_faces, inv_proj, inv_view, focal, aperture,
+    frame) -> (image f32[H, W, 3] sharded over rows, rays i32).
+
+    ``n_sample_groups`` independent sample groups run over the 'sp' axis
+    (default: the axis size); each group renders cfg.spp samples with its
+    own RNG stream, psum-meaned at the end.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    groups = n_sample_groups or sp
+    if groups % sp:
+        raise ValueError(f"n_sample_groups {groups} must divide over sp={sp}")
+    groups_per_shard = groups // sp
+    hpad = _pad_rows(cfg.height, dp)
+    rows_local = hpad // dp
+    width, height, ray_depth, spp = cfg.width, cfg.height, cfg.ray_depth, cfg.spp
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P("dp", None, None), P()),
+    )
+    def render_block(scene, env_faces, inv_proj, inv_view, focal, aperture, frame):
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        y0 = dp_idx * rows_local
+        py = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 0)
+        py = jnp.minimum(py, height - 1)  # padded rows recompute the last row
+        px = jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 1)
+
+        scan = make_scene_scan_fn(scene)
+        gather = make_xla_gather_fn(scene)
+        cam = camera_params(inv_proj, inv_view, focal, aperture)
+
+        acc = jnp.zeros((3, rows_local, width), jnp.float32)
+        rays = jnp.int32(0)
+        for g in range(groups_per_shard):
+            group_id = sp_idx * groups_per_shard + g
+            frame_eff = frame * groups + group_id
+            res = trace_paths(scan, gather, cam, px, py, width, height,
+                              frame_eff, ray_depth, spp)
+            acc = acc + apply_environment(res, env_faces, spp)
+            rays = rays + jnp.sum(res.ray_count)
+
+        acc = jax.lax.psum(acc, "sp") / np.float32(groups)
+        rays = jax.lax.psum(rays, "sp")
+        rays = jax.lax.psum(rays, "dp")
+        return jnp.moveaxis(acc, 0, -1), rays
+
+    @jax.jit
+    def render(scene, env_faces, inv_proj, inv_view, focal, aperture, frame):
+        image, rays = render_block(scene, env_faces, inv_proj, inv_view,
+                                   jnp.float32(focal), jnp.float32(aperture),
+                                   jnp.int32(frame))
+        return image[:height], rays
+
+    return render
+
+
+def trainable_filter_grads(grads: Scene) -> Scene:
+    """Zero gradients for non-optimizable scene leaves (counts, geometry
+    pads): inverse rendering here optimizes the material tables."""
+    return Scene(
+        sphere_pos_radius=jnp.zeros_like(grads.sphere_pos_radius),
+        sphere_material=grads.sphere_material,
+        cuboid_min=jnp.zeros_like(grads.cuboid_min),
+        cuboid_max=jnp.zeros_like(grads.cuboid_max),
+        cuboid_material=grads.cuboid_material,
+        num_spheres=jnp.int32(0),
+        num_cuboids=jnp.int32(0),
+    )
+
+
+def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
+                    counts: Tuple[int, int] = None, param_mask=None):
+    """Inverse-rendering step: pixel-MSE against a target image, gradient
+    descent on the material tables (BASELINE.json config 5).
+
+    Returns jit(fn)(scene, env_faces, inv_proj, inv_view, focal, aperture,
+    frame, target f32[H,W,3], lr) -> (new_scene, loss).
+
+    ``param_mask``: optional (sphere_mask, cuboid_mask) 0/1 arrays shaped
+    like the material tables; entries with mask 0 stay frozen.
+
+    The renderer runs sharded exactly as make_dist_renderer; autodiff
+    transposes the psum-mean into broadcast and the replicated-scene reads
+    into a cross-mesh gradient psum — the all-reduce the SURVEY's
+    parallelism table calls for, riding ICI.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    groups = n_sample_groups or sp
+    groups_per_shard = groups // sp
+    hpad = _pad_rows(cfg.height, dp)
+    rows_local = hpad // dp
+    width, height, ray_depth, spp = cfg.width, cfg.height, cfg.ray_depth, cfg.spp
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("dp", None, None)),
+        out_specs=P(),
+    )
+    def loss_block(scene, env_faces, inv_proj, inv_view, focal, aperture,
+                   frame, target_block):
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        y0 = dp_idx * rows_local
+        py = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 0)
+        valid = (py < height).astype(jnp.float32)
+        py = jnp.minimum(py, height - 1)
+        px = jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 1)
+
+        # static counts: reverse-mode AD cannot transpose dynamic-trip loops
+        scan = make_scene_scan_fn(scene, counts=counts or (256, 64))
+        gather = make_xla_gather_fn(scene)
+        cam = camera_params(inv_proj, inv_view, focal, aperture)
+
+        acc = jnp.zeros((3, rows_local, width), jnp.float32)
+        for g in range(groups_per_shard):
+            group_id = sp_idx * groups_per_shard + g
+            frame_eff = frame * groups + group_id
+            res = trace_paths(scan, gather, cam, px, py, width, height,
+                              frame_eff, ray_depth, spp)
+            acc = acc + apply_environment(res, env_faces, spp)
+        acc = jax.lax.psum(acc, "sp") / np.float32(groups)
+
+        image = jnp.moveaxis(acc, 0, -1)
+        err = (image - target_block) * valid[..., None]
+        sse = jax.lax.psum(jnp.sum(err * err), "dp")
+        return sse / np.float32(height * width * 3)
+
+    def loss_fn(params, scene, env_faces, inv_proj, inv_view, focal, aperture,
+                frame, target):
+        # differentiate w.r.t. the material tables only (float leaves)
+        sphere_mat, cuboid_mat = params
+        scene = dataclasses.replace(scene, sphere_material=sphere_mat,
+                                    cuboid_material=cuboid_mat)
+        pad = hpad - height
+        target_pad = jnp.pad(target, ((0, pad), (0, 0), (0, 0)))
+        return loss_block(scene, env_faces, inv_proj, inv_view, focal,
+                          aperture, frame, target_pad)
+
+    @jax.jit
+    def step(scene, env_faces, inv_proj, inv_view, focal, aperture,
+             frame, target, lr):
+        params = (scene.sphere_material, scene.cuboid_material)
+        loss, (g_sphere, g_cuboid) = jax.value_and_grad(loss_fn)(
+            params, scene, env_faces, inv_proj, inv_view, jnp.float32(focal),
+            jnp.float32(aperture), jnp.int32(frame), target)
+        if param_mask is not None:
+            g_sphere = g_sphere * param_mask[0]
+            g_cuboid = g_cuboid * param_mask[1]
+        new_scene = dataclasses.replace(
+            scene,
+            sphere_material=scene.sphere_material - lr * g_sphere,
+            cuboid_material=scene.cuboid_material - lr * g_cuboid,
+        )
+        return new_scene, loss
+
+    return step

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .camera import camera_matrices
 from .config import CameraConfig, RenderConfig
-from .integrator import (apply_environment, make_scene_scan_fn,
+from .integrator import (apply_environment, camera_params, make_scene_scan_fn,
                          make_xla_gather_fn, trace_paths)
 from .progressive import AccumulatorState, accumulate
 from .scene import Scene
@@ -43,12 +43,13 @@ def render_fields(scene: Scene, env_faces, inv_proj, inv_view, view_pos, frame,
                   *, width: int, height: int, ray_depth: int, spp: int
                   ) -> Tuple[jax.Array, jax.Array]:
     """One frame's mean radiance. Returns (image f32[H, W, 3], rays i32)."""
+    del view_pos  # == inv_view translation column
     px, py = _pixel_grid(height, width)
     scan = make_scene_scan_fn(scene)
     gather = make_xla_gather_fn(scene)
-    res = trace_paths(scan, gather, inv_proj, inv_view, view_pos,
-                      px, py, width, height, frame, ray_depth, spp,
-                      focal_length, aperture_diameter)
+    cam = camera_params(inv_proj, inv_view, focal_length, aperture_diameter)
+    res = trace_paths(scan, gather, cam, px, py, width, height, frame,
+                      ray_depth, spp)
     mean = apply_environment(res, env_faces, spp)
     return jnp.moveaxis(mean, 0, -1), jnp.sum(res.ray_count)
 
@@ -59,14 +60,15 @@ def render_fields_vmap(scene: Scene, env_faces, inv_proj, inv_view, view_pos, fr
                        *, width: int, height: int, ray_depth: int, spp: int
                        ) -> Tuple[jax.Array, jax.Array]:
     """Scalar per-pixel integrator vmapped over the flattened pixel grid."""
+    del view_pos
     px, py = _pixel_grid(height, width)
     scan = make_scene_scan_fn(scene)
     gather = make_xla_gather_fn(scene)
+    cam = camera_params(inv_proj, inv_view, focal_length, aperture_diameter)
 
     def one_pixel(x, y):
-        res = trace_paths(scan, gather, inv_proj, inv_view, view_pos,
-                          x, y, width, height, frame, ray_depth, spp,
-                          focal_length, aperture_diameter)
+        res = trace_paths(scan, gather, cam, x, y, width, height, frame,
+                          ray_depth, spp)
         mean = apply_environment(res, env_faces, spp)
         return mean, res.ray_count
 

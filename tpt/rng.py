@@ -49,10 +49,20 @@ def pcg_hash(seed):
     return (word >> np.uint32(22)) ^ word, seed
 
 
+def u32_to_f32(u):
+    """Exact uint32 -> float32 value conversion (round-to-nearest like a
+    native cast), written as int32 casts only: Mosaic/TPU has no u32->f32
+    cast.  hi*65536 is exact, and the single add performs the same
+    correctly-rounded step as a direct conversion would."""
+    hi = (u >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = (u & np.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * np.float32(65536.0) + lo
+
+
 def random_float01(seed):
     """One draw in [0, 1). Returns ``(f32 value, new_seed)``."""
     word, seed = pcg_hash(seed)
-    return word.astype(jnp.float32) * _U32_TO_FLOAT, seed
+    return u32_to_f32(word) * _U32_TO_FLOAT, seed
 
 
 def random_floats(seed, n: int):
