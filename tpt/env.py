@@ -20,6 +20,7 @@ direction (through s/t; face choice is piecewise constant).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 FACE_POS_X, FACE_NEG_X, FACE_POS_Y, FACE_NEG_Y, FACE_POS_Z, FACE_NEG_Z = range(6)
@@ -64,33 +65,56 @@ def cubemap_face_uv(direction):
     return face.astype(jnp.int32), s, t
 
 
-def sample_environment(faces, direction):
-    """Bilinear cubemap lookup. ``faces``: f32[6, S, S, 3] (row = t, col = s);
-    ``direction``: [..., 3]. Returns [..., 3]."""
+def pad_faces_for_sampling(faces):
+    """Edge-replicate faces to f32[6, S+2, S+2, 3].
+
+    With one duplicated texel ring, a clamp-to-edge bilinear tap becomes a
+    single contiguous (2, 2) block fetch — one gather per pixel instead of
+    four.  TPU gathers cost per *row*, so this is ~4x cheaper, and the
+    result is exactly equal to four clamped taps (the duplicated ring makes
+    the out-of-range neighbor coincide with the clamped texel)."""
     faces = jnp.asarray(faces, jnp.float32)
-    size = faces.shape[1]
+    return jnp.pad(faces, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+
+def sample_environment_padded(padded, direction):
+    """Bilinear cubemap lookup from :func:`pad_faces_for_sampling` output.
+    ``direction``: [..., 3]. Returns [..., 3]."""
+    padded = jnp.asarray(padded, jnp.float32)
+    size = padded.shape[1] - 2
     face, s, t = cubemap_face_uv(direction)
 
     x = s * size - 0.5
     y = t * size - 0.5
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    fx = x - x0f
-    fy = y - y0f
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, size - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, size - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, size - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, size - 1)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    # +1 for the pad ring; clip keeps the 2x2 window in range at both edges
+    x0 = jnp.clip(x0f.astype(jnp.int32), -1, size - 1) + 1
+    y0 = jnp.clip(y0f.astype(jnp.int32), -1, size - 1) + 1
 
-    c00 = faces[face, y0, x0]
-    c01 = faces[face, y0, x1]
-    c10 = faces[face, y1, x0]
-    c11 = faces[face, y1, x1]
-    fx = fx[..., None]
-    fy = fy[..., None]
-    top = c00 * (1 - fx) + c01 * fx
-    bot = c10 * (1 - fx) + c11 * fx
+    # one gather: a (2, 2, 3) block per pixel
+    start = jnp.stack(jnp.broadcast_arrays(face, y0, x0), axis=-1)
+    block = jax.lax.gather(
+        padded, start.reshape(-1, 3),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2)),
+        slice_sizes=(1, 2, 2, 3),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(face.shape + (2, 2, 3))
+
+    top = block[..., 0, 0, :] * (1 - fx) + block[..., 0, 1, :] * fx
+    bot = block[..., 1, 0, :] * (1 - fx) + block[..., 1, 1, :] * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_environment(faces, direction):
+    """Bilinear cubemap lookup. ``faces``: f32[6, S, S, 3] (row = t, col = s);
+    ``direction``: [..., 3]. Returns [..., 3]."""
+    return sample_environment_padded(pad_faces_for_sampling(faces), direction)
 
 
 def srgb_to_linear(rgb):

@@ -103,6 +103,19 @@ def _splat(components, batch) -> jax.Array:
 ScanFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]
 # gather_fn(idx) -> Winner
 GatherFn = Callable[[jax.Array], Winner]
+# trace_fn(origin, direction) -> (found, t, inside, Winner)
+TraceFn = Callable[[jax.Array, jax.Array],
+                   Tuple[jax.Array, jax.Array, jax.Array, Winner]]
+
+
+def compose_trace_fn(scan_fn: ScanFn, gather_fn: GatherFn) -> TraceFn:
+    """Closest-hit trace as scan + winner gather (the oracle path)."""
+
+    def trace(origin, direction):
+        found, idx, t, inside = scan_fn(origin, direction)
+        return found, t, inside, gather_fn(idx)
+
+    return trace
 
 
 def make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids) -> ScanFn:
@@ -150,7 +163,9 @@ def make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids) -> ScanFn:
         carry = jax.lax.fori_loop(0, num_spheres, sphere_body, carry)
         carry = jax.lax.fori_loop(0, num_cuboids, cuboid_body, carry)
         best_t, best_idx, best_inside = carry
-        return best_idx >= 0, best_idx, best_t, best_inside != 0
+        # found-check via T != FLOAT_MAX — the shader's convention
+        # (compute.glsl:257), kept identical in every implementation
+        return best_t != FLOAT_MAX, best_idx, best_t, best_inside != 0
 
     return scan
 
@@ -216,18 +231,17 @@ class PathState:
 jax.tree_util.register_dataclass(PathState)
 
 
-def bounce_step(state: PathState, scan_fn: ScanFn, gather_fn: GatherFn) -> PathState:
+def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
     """One bounce of the Radiance loop (compute.glsl:132-182)."""
     o, d, thr, rad, seed = (state.origin, state.direction, state.throughput,
                             state.radiance, state.seed)
     alive = state.alive != 0
 
-    found, idx, t, inside = scan_fn(o, d)
+    found, t, inside, w = trace_fn(o, d)
     ray_count = state.ray_count + state.alive
     hit = alive & found
     miss = alive & ~found
 
-    w = gather_fn(idx)
     mat = w.material
     albedo = mat[0:3]
     spec0 = mat[3]
@@ -336,9 +350,9 @@ class TraceResult(NamedTuple):
     seed: jax.Array        # u32[B]           final RNG state
 
 
-def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn, cam: CameraParams,
+def trace_paths(trace_fn: TraceFn, cam: CameraParams,
                 px, py, width: int, height: int, frame,
-                ray_depth: int, spp: int) -> TraceResult:
+                ray_depth: int, spp: int, remat: bool = False) -> TraceResult:
     """Full per-pixel sampling loop (compute.glsl:101-130), environment
     fetch deferred.  ``px``/``py`` are integer pixel coords (GL convention:
     y bottom-up) of any batch shape."""
@@ -399,8 +413,26 @@ def trace_paths(scan_fn: ScanFn, gather_fn: GatherFn, cam: CameraParams,
         )
         # Unrolled bounce loop: trip count is static (<= 50) and unrolling
         # sidesteps Mosaic's layout unification on large loop carries.
-        for _bounce in range(ray_depth):
-            state = bounce_step(state, scan_fn, gather_fn)
+        # After the first bounce, skip whole bounces once every lane in the
+        # batch is dead (Russian roulette keeps E[bounces] far below
+        # ray_depth; the reference relies on per-thread `break` the same
+        # way).  cond(False) is the identity, so results are unchanged.
+        def live_bounce(st):
+            return jax.lax.cond(
+                jnp.any(st.alive != 0),
+                lambda s: bounce_step(s, trace_fn),
+                lambda s: s, st)
+
+        if remat:
+            # reverse-mode memory: store only the inter-bounce carry and
+            # recompute each bounce's internals in the backward sweep
+            step = jax.checkpoint(lambda s: bounce_step(s, trace_fn))
+            for _bounce in range(ray_depth):
+                state = step(state)
+        else:
+            for _bounce in range(ray_depth):
+                state = bounce_step(state, trace_fn) if _bounce == 0 \
+                    else live_bounce(state)
 
         rad_total = rad_total + state.radiance
         miss_dirs.append(state.miss_dir)

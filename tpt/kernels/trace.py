@@ -35,8 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MAX_SPHERES, MAX_CUBOIDS
-from ..integrator import (CameraParams, TraceResult, Winner,
-                          make_scan_fn, trace_paths)
+from ..integrator import CameraParams, TraceResult, Winner, trace_paths
+from ..ops.intersect import (FLOAT_MAX, ray_cuboid, ray_sphere,
+                             smallest_positive)
 
 LANES = 128
 DEFAULT_TILE_ROWS = 8
@@ -63,56 +64,100 @@ def _kernel(counts_ref, frame_ref, cam_ref,
         aperture_diameter=cam_ref[33],
     )
 
-    def get_sphere(i):
-        return (sphere_geom_ref[i, 0], sphere_geom_ref[i, 1],
-                sphere_geom_ref[i, 2], sphere_geom_ref[i, 3])
+    # Two-pass closest-hit trace: (1) a lean scan fold carrying only
+    # (bestT, idx, inside) in the shader's order (compute.glsl:226-258);
+    # (2) a winner-attribute pass of masked broadcast-selects from SMEM.
+    # (A fused single-loop variant carrying the 20 winner attributes through
+    # the scan was tried and is algebraically identical, but its large fori
+    # carries explode Mosaic compile time; the two-pass form compiles in
+    # seconds and runs at the same speed.)
+    MAT_LANES = 14  # material lanes 0..13 (14,15 are std140 padding)
 
-    def get_cuboid(i):
-        return (cuboid_geom_ref[i, 0], cuboid_geom_ref[i, 1], cuboid_geom_ref[i, 2],
-                cuboid_geom_ref[i, 4], cuboid_geom_ref[i, 5], cuboid_geom_ref[i, 6])
+    def kernel_trace(origin, direction):
+        batch = origin.shape[1:]
+        zero_lane = origin[0] * 0.0
 
-    scan = make_scan_fn(get_sphere, get_cuboid, num_spheres, num_cuboids)
+        def splat(c):
+            return jnp.broadcast_to(c, batch)
 
-    def gather(idx) -> Winner:
-        batch = idx.shape
+        def sel_vec(cond, scalars, carried):
+            vec = jnp.stack([splat(s) for s in scalars])
+            return jnp.where(cond[None], vec, carried)
 
-        def sel_vec(mask, scalars, carried):
-            vec = jnp.stack([jnp.broadcast_to(s, batch) for s in scalars])
-            return jnp.where(mask[None], vec, carried)
+        # ---- pass 1: scan fold ----
+        best_t = zero_lane + FLOAT_MAX
+        best_idx = jnp.zeros_like(zero_lane, jnp.int32) - 1
+        inside = jnp.zeros_like(zero_lane, jnp.int32)
 
-        mat = jnp.zeros((16,) + batch, jnp.float32)
+        def consider(carry, t1, t2, ok, idx):
+            b_t, b_idx, b_in = carry
+            cond = ok & (t2 > 0.0) & (t1 < b_t)
+            t = smallest_positive(t1, t2)
+            return (jnp.where(cond, t, b_t),
+                    jnp.where(cond, idx, b_idx),
+                    jnp.where(cond, (t == t2).astype(jnp.int32), b_in))
+
+        def sphere_scan(i, carry):
+            center = jnp.stack([splat(sphere_geom_ref[i, 0]),
+                                splat(sphere_geom_ref[i, 1]),
+                                splat(sphere_geom_ref[i, 2])])
+            t1, t2, ok = ray_sphere(origin, direction, center,
+                                    sphere_geom_ref[i, 3])
+            return consider(carry, t1, t2, ok, i)
+
+        def cuboid_scan(i, carry):
+            mn = jnp.stack([splat(cuboid_geom_ref[i, 0]),
+                            splat(cuboid_geom_ref[i, 1]),
+                            splat(cuboid_geom_ref[i, 2])])
+            mx = jnp.stack([splat(cuboid_geom_ref[i, 4]),
+                            splat(cuboid_geom_ref[i, 5]),
+                            splat(cuboid_geom_ref[i, 6])])
+            t1, t2, ok = ray_cuboid(origin, direction, mn, mx)
+            return consider(carry, t1, t2, ok, MAX_SPHERES + i)
+
+        carry = (best_t, best_idx, inside)
+        carry = jax.lax.fori_loop(0, num_spheres, sphere_scan, carry)
+        carry = jax.lax.fori_loop(0, num_cuboids, cuboid_scan, carry)
+        best_t, best_idx, inside = carry
+
+        # ---- pass 2: winner attributes ----
+        mat = jnp.zeros((MAT_LANES,) + batch, jnp.float32)
         s_center = jnp.zeros((3,) + batch, jnp.float32)
-        s_radius = jnp.zeros(batch, jnp.float32)
+        s_radius = zero_lane
         c_min = jnp.zeros((3,) + batch, jnp.float32)
         c_max = jnp.zeros((3,) + batch, jnp.float32)
 
-        def sphere_body(i, carry):
+        def sphere_gather(i, carry):
             mat, s_center, s_radius = carry
-            m = idx == i
-            mat = sel_vec(m, [sphere_mat_ref[i, k] for k in range(16)], mat)
+            m = best_idx == i
+            mat = sel_vec(m, [sphere_mat_ref[i, k] for k in range(MAT_LANES)], mat)
             s_center = sel_vec(m, [sphere_geom_ref[i, k] for k in range(3)], s_center)
             s_radius = jnp.where(m, sphere_geom_ref[i, 3], s_radius)
             return mat, s_center, s_radius
 
         mat, s_center, s_radius = jax.lax.fori_loop(
-            0, num_spheres, sphere_body, (mat, s_center, s_radius))
+            0, num_spheres, sphere_gather, (mat, s_center, s_radius))
 
-        def cuboid_body(i, carry):
+        def cuboid_gather(i, carry):
             mat, c_min, c_max = carry
-            m = idx == MAX_SPHERES + i
-            mat = sel_vec(m, [cuboid_mat_ref[i, k] for k in range(16)], mat)
+            m = best_idx == MAX_SPHERES + i
+            mat = sel_vec(m, [cuboid_mat_ref[i, k] for k in range(MAT_LANES)], mat)
             c_min = sel_vec(m, [cuboid_geom_ref[i, k] for k in range(3)], c_min)
             c_max = sel_vec(m, [cuboid_geom_ref[i, k] for k in range(4, 7)], c_max)
             return mat, c_min, c_max
 
         mat, c_min, c_max = jax.lax.fori_loop(
-            0, num_cuboids, cuboid_body, (mat, c_min, c_max))
+            0, num_cuboids, cuboid_gather, (mat, c_min, c_max))
 
-        return Winner(material=mat, sphere_center=s_center, sphere_radius=s_radius,
-                      cuboid_min=c_min, cuboid_max=c_max,
-                      is_sphere=(idx >= 0) & (idx < MAX_SPHERES))
+        winner = Winner(material=mat, sphere_center=s_center,
+                       sphere_radius=s_radius, cuboid_min=c_min,
+                       cuboid_max=c_max,
+                       is_sphere=(best_idx >= 0) & (best_idx < MAX_SPHERES))
+        # found-check via T != FLOAT_MAX, the shader's own convention
+        # (compute.glsl:257)
+        return best_t != FLOAT_MAX, best_t, inside != 0, winner
 
-    res = trace_paths(scan, gather, cam, px_ref[:], py_ref[:],
+    res = trace_paths(kernel_trace, cam, px_ref[:], py_ref[:],
                       width, height, frame, ray_depth, spp)
 
     rad_ref[:] = res.radiance

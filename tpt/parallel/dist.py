@@ -46,8 +46,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = functools.partial(jax.shard_map, check_vma=False)
 
 from ..config import RenderConfig
-from ..integrator import (apply_environment, camera_params, make_scene_scan_fn,
-                          make_xla_gather_fn, trace_paths)
+from ..integrator import (apply_environment, camera_params, compose_trace_fn,
+                          make_scene_scan_fn, make_xla_gather_fn, trace_paths)
 from ..scene import Scene
 
 
@@ -108,8 +108,8 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
         for g in range(groups_per_shard):
             group_id = sp_idx * groups_per_shard + g
             frame_eff = frame * groups + group_id
-            res = trace_paths(scan, gather, cam, px, py, width, height,
-                              frame_eff, ray_depth, spp)
+            res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
+                              width, height, frame_eff, ray_depth, spp)
             acc = acc + apply_environment(res, env_faces, spp)
             rays = rays + jnp.sum(res.ray_count)
 
@@ -190,8 +190,8 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
         for g in range(groups_per_shard):
             group_id = sp_idx * groups_per_shard + g
             frame_eff = frame * groups + group_id
-            res = trace_paths(scan, gather, cam, px, py, width, height,
-                              frame_eff, ray_depth, spp)
+            res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
+                              width, height, frame_eff, ray_depth, spp)
             acc = acc + apply_environment(res, env_faces, spp)
         acc = jax.lax.psum(acc, "sp") / np.float32(groups)
 

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from .camera import camera_matrices
 from .config import CameraConfig, RenderConfig
-from .integrator import (apply_environment, camera_params, make_scene_scan_fn,
-                         make_xla_gather_fn, trace_paths)
+from .integrator import (apply_environment, camera_params, compose_trace_fn,
+                         make_scene_scan_fn, make_xla_gather_fn, trace_paths)
 from .progressive import AccumulatorState, accumulate
 from .scene import Scene
 
@@ -48,8 +48,8 @@ def render_fields(scene: Scene, env_faces, inv_proj, inv_view, view_pos, frame,
     scan = make_scene_scan_fn(scene)
     gather = make_xla_gather_fn(scene)
     cam = camera_params(inv_proj, inv_view, focal_length, aperture_diameter)
-    res = trace_paths(scan, gather, cam, px, py, width, height, frame,
-                      ray_depth, spp)
+    res = trace_paths(compose_trace_fn(scan, gather), cam, px, py, width,
+                      height, frame, ray_depth, spp)
     mean = apply_environment(res, env_faces, spp)
     return jnp.moveaxis(mean, 0, -1), jnp.sum(res.ray_count)
 
@@ -67,8 +67,8 @@ def render_fields_vmap(scene: Scene, env_faces, inv_proj, inv_view, view_pos, fr
     cam = camera_params(inv_proj, inv_view, focal_length, aperture_diameter)
 
     def one_pixel(x, y):
-        res = trace_paths(scan, gather, cam, x, y, width, height, frame,
-                          ray_depth, spp)
+        res = trace_paths(compose_trace_fn(scan, gather), cam, x, y, width,
+                          height, frame, ray_depth, spp)
         mean = apply_environment(res, env_faces, spp)
         return mean, res.ray_count
 

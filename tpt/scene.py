@@ -165,6 +165,58 @@ def unpack_std140(buf: np.ndarray, num_spheres: int, num_cuboids: int) -> Scene:
     )
 
 
+def update_sphere(scene: Scene, index, position=None, radius=None,
+                  material: Material | None = None) -> Scene:
+    """Functional single-object update — the UBO SubData analogue
+    (reference: src/BaseSTD140Compatible.cs:12-16, edited from the GUI at
+    src/Render/Gui.cs:156-218)."""
+    spr = scene.sphere_pos_radius
+    smat = scene.sphere_material
+    if position is not None:
+        spr = spr.at[index, :3].set(jnp.asarray(position, jnp.float32))
+    if radius is not None:
+        spr = spr.at[index, 3].set(jnp.float32(radius))
+    if material is not None:
+        smat = smat.at[index].set(jnp.asarray(material.to_array()))
+    return dataclasses.replace(scene, sphere_pos_radius=spr, sphere_material=smat)
+
+
+def update_cuboid(scene: Scene, index, position=None, dimensions=None,
+                  material: Material | None = None) -> Scene:
+    """Functional cuboid update; position/dimensions follow the host-side
+    center+dimensions convention (src/GameObjects/Cuboid.cs:8-19)."""
+    cmin, cmax, cmat = scene.cuboid_min, scene.cuboid_max, scene.cuboid_material
+    if position is not None or dimensions is not None:
+        old_c = (cmin[index] + cmax[index]) / 2
+        old_d = cmax[index] - cmin[index]
+        c = jnp.asarray(position, jnp.float32) if position is not None else old_c
+        d = jnp.asarray(dimensions, jnp.float32) if dimensions is not None else old_d
+        cmin = cmin.at[index].set(c - d / 2)
+        cmax = cmax.at[index].set(c + d / 2)
+    if material is not None:
+        cmat = cmat.at[index].set(jnp.asarray(material.to_array()))
+    return dataclasses.replace(scene, cuboid_min=cmin, cuboid_max=cmax,
+                               cuboid_material=cmat)
+
+
+def randomize_materials(builder: SceneBuilder, max_num: int,
+                        kind=SphereObject, rng=None) -> int:
+    """Assign random materials to the first ``max_num`` objects of ``kind``
+    (the GUI's random-materials button,
+    src/MainWindow.cs:324-336 / src/Render/Gui.cs:69-73). Returns the count
+    changed; call ``builder.build()`` to refresh the device scene."""
+    from .materials import random_material
+    rng = rng if rng is not None else np.random.default_rng()
+    changed = 0
+    for obj in builder.objects:
+        if changed >= max_num:
+            break
+        if isinstance(obj, kind):
+            obj.material = random_material(rng)
+            changed += 1
+    return changed
+
+
 def demo_scene() -> SceneBuilder:
     """The reference demo scene, reproduced exactly
     (reference: src/MainWindow.cs:208-267).
