@@ -33,7 +33,7 @@ def main() -> int:
                              jnp.int32(i), jnp.float32(cam.focal_length),
                              jnp.float32(cam.aperture_diameter),
                              width=width, height=height,
-                             ray_depth=ray_depth, spp=spp)
+                             ray_depth=ray_depth, spp=spp, counts=(48, 7))
 
     # warmup / compile; several fully-blocked frames absorb one-off stalls
     # (remote-tunnel program load can hiccup on early executions)

@@ -48,6 +48,11 @@ class RenderConfig:
     height: int = DEFAULT_HEIGHT
     ray_depth: int = 13
     spp: int = 1
+    # Static (n_spheres, n_cuboids): bakes the primitive-loop trip counts into
+    # the compiled program so the Pallas kernel fully unrolls its scan/gather
+    # (~1.5x throughput).  None keeps the counts dynamic (one compilation for
+    # any scene; needed when objects are added/removed without recompiling).
+    static_counts: Tuple[int, int] | None = None
 
     def __post_init__(self):
         if not (1 <= self.ray_depth <= 50):

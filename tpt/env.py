@@ -32,13 +32,13 @@ def constant_environment(color, size: int = 1) -> jnp.ndarray:
     return jnp.broadcast_to(color, (6, size, size, 3)).astype(jnp.float32)
 
 
-def cubemap_face_uv(direction):
-    """GL cubemap face selection (OpenGL 4.6 spec table 8.19).
+def cubemap_face_uv_planar(dx, dy, dz):
+    """GL cubemap face selection (OpenGL 4.6 spec table 8.19) on planar
+    (channel-separate) direction components — no [..., 3] packing, so callers
+    holding channel-first data avoid the minor-dim-3 transpose, which is
+    catastrophically slow on TPU (measured ~31 ms for a 1080p field).
 
-    ``direction``: [..., 3] (need not be normalized).
     Returns (face [...] i32, s [...], t [...]) with s, t in [0, 1]."""
-    d = jnp.asarray(direction, jnp.float32)
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
     ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
 
     x_major = (ax >= ay) & (ax >= az)
@@ -63,6 +63,12 @@ def cubemap_face_uv(direction):
     s = 0.5 * (sc * inv_ma + 1.0)
     t = 0.5 * (tc * inv_ma + 1.0)
     return face.astype(jnp.int32), s, t
+
+
+def cubemap_face_uv(direction):
+    """GL cubemap face selection on [..., 3]-packed directions."""
+    d = jnp.asarray(direction, jnp.float32)
+    return cubemap_face_uv_planar(d[..., 0], d[..., 1], d[..., 2])
 
 
 def pad_faces_for_sampling(faces):
@@ -115,6 +121,52 @@ def sample_environment(faces, direction):
     """Bilinear cubemap lookup. ``faces``: f32[6, S, S, 3] (row = t, col = s);
     ``direction``: [..., 3]. Returns [..., 3]."""
     return sample_environment_padded(pad_faces_for_sampling(faces), direction)
+
+
+def sample_environment_planar(faces, direction3):
+    """Bilinear cubemap lookup in channel-first layout.
+
+    ``faces``: f32[6, S, S, 3]; ``direction3``: f32[3, *batch].
+    Returns f32[3, *batch].  Mathematically identical to
+    :func:`sample_environment`, but every intermediate keeps the batch as the
+    minor axes (one gather per channel, indices shared), so a channel-first
+    caller — the render pipeline carries f32[3, H, W] fields — never pays the
+    minor-dim-3 transpose XLA:TPU lowers at ~1 GB/s."""
+    faces = jnp.asarray(faces, jnp.float32)
+    size = faces.shape[1]
+    pad = size + 2
+    # flat table + scalar-output takes: every intermediate is a full-size
+    # planar field or a flat vector, the shapes XLA:TPU gathers at HBM speed.
+    # A (…, 2, 2, 3)-block gather materializes minor-dim-padded layouts and
+    # measures ~5 orders of magnitude slower here.
+    table = jnp.pad(faces, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    mode="edge").reshape(-1)
+
+    face, s, t = cubemap_face_uv_planar(direction3[0], direction3[1],
+                                        direction3[2])
+    x = s * size - 0.5
+    y = t * size - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    # +1 for the pad ring; x0+1 stays <= size+1, so no second clamp needed
+    x0 = jnp.clip(x0f.astype(jnp.int32), -1, size - 1) + 1
+    y0 = jnp.clip(y0f.astype(jnp.int32), -1, size - 1) + 1
+
+    row0 = ((face * pad + y0) * pad + x0) * 3
+    row1 = row0 + pad * 3  # y0 + 1
+
+    def channel(c):
+        t00 = jnp.take(table, row0 + c)
+        t01 = jnp.take(table, row0 + (3 + c))  # x0 + 1
+        t10 = jnp.take(table, row1 + c)
+        t11 = jnp.take(table, row1 + (3 + c))
+        top = t00 * (1 - fx) + t01 * fx
+        bot = t10 * (1 - fx) + t11 * fx
+        return top * (1 - fy) + bot * fy
+
+    return jnp.stack([channel(0), channel(1), channel(2)])
 
 
 def srgb_to_linear(rgb):

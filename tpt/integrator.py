@@ -43,7 +43,7 @@ from .ops.intersect import (FLOAT_MAX, ray_sphere, ray_cuboid,
                             smallest_positive, sphere_normal, cuboid_normal)
 from .ops.sampling import cosine_sample_hemisphere, uniform_sample_unit_circle
 from .ops.bsdf_math import fresnel_schlick, reflect3, refract3
-from .env import sample_environment
+from .env import sample_environment_planar
 
 EPS = np.float32(KERNEL_EPSILON)
 
@@ -455,7 +455,6 @@ def apply_environment(result: TraceResult, env_faces, spp: int):
     Returns the frame's per-pixel mean radiance, f32[3, B]."""
     rad = result.radiance
     for s in range(spp):
-        dirs = jnp.moveaxis(result.miss_dir[s], 0, -1)
-        envc = jnp.moveaxis(sample_environment(env_faces, dirs), -1, 0)
+        envc = sample_environment_planar(env_faces, result.miss_dir[s])
         rad = rad + result.miss_thr[s] * envc
     return rad / np.float32(spp)

@@ -40,17 +40,35 @@ from ..ops.intersect import (FLOAT_MAX, ray_cuboid, ray_sphere,
                              smallest_positive)
 
 LANES = 128
-DEFAULT_TILE_ROWS = 8
+# (16, 128) pixel tiles won a 1080p sweep over {8, 16, 32, 64} rows
+# (benchmarks/sweep_kernel.py); unroll=1 means "fully unroll the primitive
+# loops when counts are static" (Mosaic supports only full/none).
+DEFAULT_TILE_ROWS = 16
+DEFAULT_UNROLL = 1
 
 
 def _kernel(counts_ref, frame_ref, cam_ref,
             sphere_geom_ref, sphere_mat_ref, cuboid_geom_ref, cuboid_mat_ref,
             px_ref, py_ref,
             rad_ref, missd_ref, misst_ref, rays_ref, seed_ref,
-            *, width: int, height: int, ray_depth: int, spp: int):
-    num_spheres = counts_ref[0]
-    num_cuboids = counts_ref[1]
+            *, width: int, height: int, ray_depth: int, spp: int,
+            counts: Tuple[int, int] | None, unroll: int):
+    # Static counts (the fast path) bake the primitive-loop trip counts into
+    # the program so Mosaic can unroll them, hoisting the per-iteration SMEM
+    # scalar reads and loop control off the critical path.  Dynamic counts
+    # (counts=None) read the trip counts from SMEM — one compilation serves
+    # any scene, at a throughput cost.
+    if counts is not None:
+        num_spheres, num_cuboids = counts
+    else:
+        num_spheres = counts_ref[0]
+        num_cuboids = counts_ref[1]
     frame = frame_ref[0]
+
+    def loop(n, body, init):
+        # Pallas TPU lowers fori_loop either rolled or fully unrolled.
+        full = counts is not None and unroll
+        return jax.lax.fori_loop(0, n, body, init, unroll=True if full else None)
 
     iv = lambda r, c: cam_ref[16 + r * 4 + c]
     cam = CameraParams(
@@ -116,8 +134,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             return consider(carry, t1, t2, ok, MAX_SPHERES + i)
 
         carry = (best_t, best_idx, inside)
-        carry = jax.lax.fori_loop(0, num_spheres, sphere_scan, carry)
-        carry = jax.lax.fori_loop(0, num_cuboids, cuboid_scan, carry)
+        carry = loop(num_spheres, sphere_scan, carry)
+        carry = loop(num_cuboids, cuboid_scan, carry)
         best_t, best_idx, inside = carry
 
         # ---- pass 2: winner attributes ----
@@ -135,8 +153,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             s_radius = jnp.where(m, sphere_geom_ref[i, 3], s_radius)
             return mat, s_center, s_radius
 
-        mat, s_center, s_radius = jax.lax.fori_loop(
-            0, num_spheres, sphere_gather, (mat, s_center, s_radius))
+        mat, s_center, s_radius = loop(
+            num_spheres, sphere_gather, (mat, s_center, s_radius))
 
         def cuboid_gather(i, carry):
             mat, c_min, c_max = carry
@@ -146,8 +164,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             c_max = sel_vec(m, [cuboid_geom_ref[i, k] for k in range(4, 7)], c_max)
             return mat, c_min, c_max
 
-        mat, c_min, c_max = jax.lax.fori_loop(
-            0, num_cuboids, cuboid_gather, (mat, c_min, c_max))
+        mat, c_min, c_max = loop(
+            num_cuboids, cuboid_gather, (mat, c_min, c_max))
 
         winner = Winner(material=mat, sphere_center=s_center,
                        sphere_radius=s_radius, cuboid_min=c_min,
@@ -181,11 +199,14 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
-                                             "spp", "tile_rows", "interpret"))
+                                             "spp", "tile_rows", "interpret",
+                                             "counts", "unroll"))
 def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diameter,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  tile_rows: int = DEFAULT_TILE_ROWS,
-                 interpret: bool | None = None) -> TraceResult:
+                 interpret: bool | None = None,
+                 counts: Tuple[int, int] | None = None,
+                 unroll: int = DEFAULT_UNROLL) -> TraceResult:
     """Trace every pixel of a width x height frame on TPU.
 
     Returns a TraceResult with batch shape (height, width) — same contract as
@@ -209,7 +230,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
         jnp.asarray(focal_length, jnp.float32).reshape(1),
         jnp.asarray(aperture_diameter, jnp.float32).reshape(1),
     ])
-    counts = jnp.stack([scene.num_spheres, scene.num_cuboids]).astype(jnp.int32)
+    counts_arr = jnp.stack([scene.num_spheres, scene.num_cuboids]).astype(jnp.int32)
     frame = jnp.asarray(frame, jnp.int32).reshape(1)
     sphere_geom, sphere_mat, cuboid_geom, cuboid_mat = _scene_smem_arrays(scene)
 
@@ -222,7 +243,8 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, width=width, height=height,
-                               ray_depth=ray_depth, spp=spp)
+                               ray_depth=ray_depth, spp=spp,
+                               counts=counts, unroll=unroll)
     rad, missd, misst, rays, seed = pl.pallas_call(
         kernel,
         grid=grid,
@@ -237,7 +259,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
         ),
         interpret=interpret,
-    )(counts, frame, cam, sphere_geom, sphere_mat, cuboid_geom, cuboid_mat, px, py)
+    )(counts_arr, frame, cam, sphere_geom, sphere_mat, cuboid_geom, cuboid_mat, px, py)
 
     def unflatten(a):
         # [..., rows, LANES] -> [..., height, width]
