@@ -11,6 +11,7 @@ donation-friendly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -37,11 +38,25 @@ def reset(state: AccumulatorState) -> AccumulatorState:
     return AccumulatorState(image=state.image, frame=jnp.int32(0))
 
 
-def accumulate(state: AccumulatorState, frame_mean) -> AccumulatorState:
-    """Fold one frame's per-pixel mean radiance into the running mean."""
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _accumulate(state: AccumulatorState, frame_mean) -> AccumulatorState:
+    # The old accumulator is donated: XLA updates the image in place instead
+    # of allocating a fresh H*W*3 buffer every frame — the functional
+    # equivalent of the reference's mutable RGBA32F accumulation texture
+    # (src/Render/PathTracer.cs:97-99).  On backends without donation
+    # support (CPU) JAX silently falls back to a copy.
     w = 1.0 / (state.frame.astype(jnp.float32) + 1.0)
     image = state.image + (frame_mean - state.image) * w
     return AccumulatorState(image=image, frame=state.frame + 1)
+
+
+def accumulate(state: AccumulatorState, frame_mean) -> AccumulatorState:
+    """Fold one frame's per-pixel mean radiance into the running mean:
+    ``mix(last, new, 1/(frame+1))`` (compute.glsl:128).
+
+    The input ``state``'s buffers are donated — do not reuse it afterwards.
+    """
+    return _accumulate(state, frame_mean)
 
 
 def samples_per_pixel(state: AccumulatorState, spp: int):
