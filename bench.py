@@ -4,6 +4,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is Mrays/s per chip — traced path segments (counted in-kernel,
 so Russian-roulette termination is reflected) per wall second, steady-state.
 Baseline target from BASELINE.md: 100 Mrays/s/chip.
+
+Workload = the reference's default frame loop: progressive accumulation of
+the 48-sphere/7-cuboid demo scene (src/MainWindow.cs:208-267) under the
+precomputed 256^2 atmospheric-scattering skybox (the reference default,
+src/MainWindow.cs:174), ray depth 13, spp 1, thin-lens DoF.  Frames are
+rendered in fused blocks of CHUNK (trace kernel -> one-row-gather env fetch
+-> donated running-mean accumulate in ONE device program) exactly as the
+interactive/CLI paths do; timing syncs once per block, so the per-frame
+figure excludes host dispatch latency but includes every device-side op of
+the progressive loop.
 """
 
 import json
@@ -18,40 +28,47 @@ def main() -> int:
     import jax.numpy as jnp
     from tpt import CameraConfig, demo_scene
     from tpt.camera import camera_matrices
-    from tpt.env import constant_environment
-    from tpt.kernels.render import render_fields
+    from tpt.config import AtmosphereConfig
+    from tpt.env import pack_block_table
+    from tpt.kernels.render import progressive_frames
+    from tpt.progressive import init_accumulator
+    from tpt.sky import compute_atmosphere
 
     width, height = 1920, 1080
     ray_depth, spp = 13, 1
     cam = CameraConfig()
     scene = demo_scene().build()
-    inv_proj, inv_view, pos = camera_matrices(cam, width, height)
-    env_faces = constant_environment((0.7, 0.8, 1.0))
+    inv_proj, inv_view, _pos = camera_matrices(cam, width, height)
+    env_table = pack_block_table(compute_atmosphere(AtmosphereConfig()))
+    focal = jnp.float32(cam.focal_length)
+    aperture = jnp.float32(cam.aperture_diameter)
 
-    def frame(i):
-        return render_fields(scene, env_faces, inv_proj, inv_view, pos,
-                             jnp.int32(i), jnp.float32(cam.focal_length),
-                             jnp.float32(cam.aperture_diameter),
-                             width=width, height=height,
-                             ray_depth=ray_depth, spp=spp, counts=(48, 7))
+    CHUNK = 10
 
-    # warmup / compile; several fully-blocked frames absorb one-off stalls
+    def block(accum, frame0):
+        return progressive_frames(
+            accum, scene, env_table, inv_proj, inv_view, jnp.int32(frame0),
+            focal, aperture, width=width, height=height, ray_depth=ray_depth,
+            spp=spp, counts=(48, 7), n_frames=CHUNK)
+
+    # warmup / compile; a few fully-synced blocks absorb one-off stalls
     # (remote-tunnel program load can hiccup on early executions)
-    for i in range(3):
-        img, rays = frame(i)
-        img.block_until_ready()
+    accum = init_accumulator(height, width)
+    for i in range(2):
+        accum, rays = block(accum, i * CHUNK)
+        jax.block_until_ready(accum.image)
 
-    n = 20
+    n_blocks = 6
     times = []
     ray_counts = []
-    for i in range(3, 3 + n):
+    for i in range(2, 2 + n_blocks):
         t0 = time.time()
-        img, rays = frame(i)
-        img.block_until_ready()
+        accum, rays = block(accum, i * CHUNK)
+        r = int(rays)  # fetching syncs the device
         times.append(time.time() - t0)
-        ray_counts.append(int(rays))
+        ray_counts.append(r)
 
-    # median frame time: robust steady-state throughput
+    # median block time: robust steady-state throughput
     med = float(np.median(times))
     mrays = float(np.mean(ray_counts)) / med / 1e6
     baseline = 100.0

@@ -90,3 +90,29 @@ def test_lookup_differentiable():
     g = jax.grad(loss)(faces)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(g)) > 0  # bilinear weights sum to 1 per channel
+
+
+def test_blocked_sampler_matches_planar():
+    """The production fetch path (pack_block_table + one row gather) is
+    bit-identical to the planar oracle sampler on random faces/directions."""
+    rng = np.random.default_rng(7)
+    faces = jnp.asarray(rng.uniform(0, 5, size=(6, 16, 16, 3)).astype(np.float32))
+    dirs = rng.normal(size=(3, 33, 65)).astype(np.float32)
+    # include degenerate zero directions (no-miss sentinel lanes)
+    dirs[:, 0, 0] = 0.0
+    d3 = jnp.asarray(dirs)
+    table = env.pack_block_table(faces)
+    got = np.asarray(env.sample_environment_blocked(table, d3))
+    want = np.asarray(env.sample_environment_planar(faces, d3))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blocked_sampler_size1():
+    faces = env.constant_environment((0.1, 0.2, 0.3), size=1)
+    table = env.pack_block_table(faces)
+    assert env.env_size_from_table(table) == 1
+    d3 = jnp.asarray(np.random.default_rng(0).normal(size=(3, 50)).astype(np.float32))
+    out = np.asarray(env.sample_environment_blocked(table, d3))
+    np.testing.assert_allclose(out[0], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(out[1], 0.2, rtol=1e-6)
+    np.testing.assert_allclose(out[2], 0.3, rtol=1e-6)

@@ -50,3 +50,38 @@ def test_kernel_nonaligned_size():
                        focal_length=8.0, aperture_diameter=0.0)
     a, b, _, _ = run_pair(cornell_scene(), cam, 17, 9, 1, 3, 1)
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_progressive_frames_matches_manual_loop():
+    """The fused multi-frame program (trace -> blocked env fetch ->
+    accumulate in one jit) equals frame-by-frame render + accumulate."""
+    from tpt.env import pack_block_table
+    from tpt.kernels.render import progressive_frames
+    from tpt.progressive import init_accumulator, accumulate
+
+    cam = CameraConfig(position=(0.0, 0.5, 2.0), look_x=-90.0, look_y=-5.0,
+                       focal_length=8.0, aperture_diameter=0.1)
+    width, height, depth, spp = 24, 16, 3, 1
+    scene = cornell_scene().build()
+    inv_p, inv_v, pos = camera.camera_matrices(cam, width, height)
+    env_faces = constant_environment(ENV)
+
+    want = init_accumulator(height, width)
+    for f in range(3):
+        img, _ = kernel_render(scene, env_faces, inv_p, inv_v, pos,
+                               jnp.int32(f), jnp.float32(cam.focal_length),
+                               jnp.float32(cam.aperture_diameter),
+                               width=width, height=height,
+                               ray_depth=depth, spp=spp)
+        want = accumulate(want, img)
+
+    got = init_accumulator(height, width)
+    got, rays = progressive_frames(
+        got, scene, pack_block_table(env_faces), inv_p, inv_v, jnp.int32(0),
+        jnp.float32(cam.focal_length), jnp.float32(cam.aperture_diameter),
+        width=width, height=height, ray_depth=depth, spp=spp, n_frames=3)
+
+    assert int(got.frame) == int(want.frame) == 3
+    assert int(rays) > 0
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
+                               rtol=1e-6, atol=1e-6)

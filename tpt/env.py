@@ -169,6 +169,76 @@ def sample_environment_planar(faces, direction3):
     return jnp.stack([channel(0), channel(1), channel(2)])
 
 
+def pack_block_table(faces) -> jnp.ndarray:
+    """Precompute the render-path environment table: f32[6*(S+2)^2, 12].
+
+    Row ``(face*(S+2) + y0)*(S+2) + x0`` holds the full bilinear footprint of
+    the tap whose top-left padded texel is (y0, x0):
+    ``[t00.rgb, t01.rgb, t10.rgb, t11.rgb]`` — so the per-pixel fetch of
+    :func:`sample_environment_blocked` is ONE row gather instead of twelve
+    scalar gathers.  XLA:TPU gathers pay per *row*, not per byte (measured
+    12 ms vs 207 ms per 1080p frame, benchmarks/exp_gather2.py), which makes
+    this the production fetch path; the planar sampler remains the oracle.
+
+    Rebuilt only when the environment changes (atmosphere recompute / file
+    load) — the reference's analogue is re-uploading the cubemap texture.
+    """
+    faces = jnp.asarray(faces, jnp.float32)
+    padded = jnp.pad(faces, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    pad = padded.shape[1]
+    # neighbor-at-clamp: the last row/col duplicates itself, matching the
+    # clamp in sample_environment_planar (x0+1 <= size+1 always in-range,
+    # so the duplicate is never actually selected — it only keeps shapes).
+    right = jnp.concatenate([padded[:, :, 1:], padded[:, :, -1:]], axis=2)
+    down = jnp.concatenate([padded[:, 1:], padded[:, -1:]], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    blocks = jnp.concatenate([padded, right, down, downright], axis=-1)
+    return blocks.reshape(6 * pad * pad, 12)
+
+
+def env_size_from_table(table) -> int:
+    """Recover the face size S from a pack_block_table output."""
+    pad = int(round((table.shape[0] // 6) ** 0.5))
+    return pad - 2
+
+
+def sample_environment_blocked(table, direction3):
+    """Bilinear cubemap lookup from a :func:`pack_block_table` table.
+
+    ``direction3``: f32[3, *batch].  Returns f32[3, *batch].  Bit-identical
+    to :func:`sample_environment_planar` on the same faces (same texels,
+    same weights, same operation order)."""
+    table = jnp.asarray(table, jnp.float32)
+    size = env_size_from_table(table)
+    pad = size + 2
+
+    face, s, t = cubemap_face_uv_planar(direction3[0], direction3[1],
+                                        direction3[2])
+    x = s * size - 0.5
+    y = t * size - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), -1, size - 1) + 1
+    y0 = jnp.clip(y0f.astype(jnp.int32), -1, size - 1) + 1
+
+    rows = (face * pad + y0) * pad + x0
+    batch = rows.shape
+    block = table[rows.reshape(-1)]          # ONE [N, 12] row gather
+
+    def channel(c):
+        t00 = block[:, c].reshape(batch)
+        t01 = block[:, 3 + c].reshape(batch)
+        t10 = block[:, 6 + c].reshape(batch)
+        t11 = block[:, 9 + c].reshape(batch)
+        top = t00 * (1 - fx) + t01 * fx
+        bot = t10 * (1 - fx) + t11 * fx
+        return top * (1 - fy) + bot * fy
+
+    return jnp.stack([channel(0), channel(1), channel(2)])
+
+
 def srgb_to_linear(rgb):
     """Inverse gamma, exact shader formula (compute.glsl:366-369)."""
     rgb = jnp.asarray(rgb, jnp.float32)

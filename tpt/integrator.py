@@ -458,3 +458,14 @@ def apply_environment(result: TraceResult, env_faces, spp: int):
         envc = sample_environment_planar(env_faces, result.miss_dir[s])
         rad = rad + result.miss_thr[s] * envc
     return rad / np.float32(spp)
+
+
+def apply_environment_blocked(result: TraceResult, env_table, spp: int):
+    """apply_environment on the production fetch path: one row gather per
+    sample from a tpt.env.pack_block_table table (bit-identical values)."""
+    from .env import sample_environment_blocked
+    rad = result.radiance
+    for s in range(spp):
+        envc = sample_environment_blocked(env_table, result.miss_dir[s])
+        rad = rad + result.miss_thr[s] * envc
+    return rad / np.float32(spp)

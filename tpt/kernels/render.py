@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 from ..camera import camera_matrices
 from ..config import CameraConfig, RenderConfig
-from ..integrator import apply_environment
+from ..env import pack_block_table
+from ..integrator import apply_environment, apply_environment_blocked
+from ..progressive import AccumulatorState
 from ..scene import Scene
 from .trace import pallas_trace
 
@@ -49,3 +51,41 @@ def render_frame(scene: Scene, env_faces, camera: CameraConfig,
         jnp.float32(camera.focal_length), jnp.float32(camera.aperture_diameter),
         width=cfg.width, height=cfg.height, ray_depth=cfg.ray_depth,
         spp=cfg.spp, counts=cfg.static_counts)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "ray_depth", "spp",
+                                   "counts", "n_frames"),
+         donate_argnames=("accum",))
+def progressive_frames(accum: AccumulatorState, scene: Scene, env_table,
+                       inv_proj, inv_view, frame0, focal_length,
+                       aperture_diameter,
+                       *, width: int, height: int, ray_depth: int, spp: int,
+                       counts: Tuple[int, int] | None = None,
+                       n_frames: int = 1
+                       ) -> Tuple[AccumulatorState, jax.Array]:
+    """Fold ``n_frames`` consecutive progressive frames into the accumulator
+    in ONE device program: Pallas trace -> blocked env fetch (one row gather,
+    tpt.env.pack_block_table) -> running-mean accumulate (compute.glsl:128),
+    looped with lax.scan.  The accumulator is donated (in-place update — the
+    functional analogue of the reference's mutable RGBA32F accumulation
+    texture, src/Render/PathTracer.cs:97-99).
+
+    ``env_table``: pack_block_table(faces) output.
+    Returns (new accumulator, total traced path segments i32).
+    """
+
+    def one_frame(acc: AccumulatorState, k):
+        res = pallas_trace(scene, inv_proj, inv_view, frame0 + k,
+                           focal_length, aperture_diameter,
+                           width=width, height=height, ray_depth=ray_depth,
+                           spp=spp, counts=counts)
+        mean = jnp.moveaxis(apply_environment_blocked(res, env_table, spp),
+                            0, -1)
+        w = 1.0 / (acc.frame.astype(jnp.float32) + 1.0)
+        image = acc.image + (mean - acc.image) * w
+        return (AccumulatorState(image=image, frame=acc.frame + 1),
+                jnp.sum(res.ray_count))
+
+    accum, rays = jax.lax.scan(one_frame, accum,
+                               jnp.arange(n_frames, dtype=jnp.int32))
+    return accum, jnp.sum(rays)

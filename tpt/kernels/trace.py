@@ -200,29 +200,41 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
-                                             "counts", "unroll"))
+                                             "counts", "unroll", "n_rows"))
 def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diameter,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  tile_rows: int = DEFAULT_TILE_ROWS,
                  interpret: bool | None = None,
                  counts: Tuple[int, int] | None = None,
-                 unroll: int = DEFAULT_UNROLL) -> TraceResult:
+                 unroll: int = DEFAULT_UNROLL,
+                 n_rows: int | None = None,
+                 row0=0) -> TraceResult:
     """Trace every pixel of a width x height frame on TPU.
 
     Returns a TraceResult with batch shape (height, width) — same contract as
     the oracle's trace, so tpt.integrator.apply_environment works on either.
+
+    Row-band mode (the sharded path): ``n_rows``/``row0`` select a horizontal
+    band of ``n_rows`` pixel rows starting at traced row index ``row0``; the
+    batch shape becomes (n_rows, width).  Camera NDC math still uses the full
+    width x height frame, and seeds depend only on absolute pixel coords
+    (compute.glsl:106), so a banded render is bit-identical to the matching
+    slice of a whole-frame render.
     """
     if interpret is None:
         interpret = _use_interpret()
+    if n_rows is None:
+        n_rows = height
     tile = tile_rows * LANES
-    npix = width * height
+    npix = width * n_rows
     npad = -(-npix // tile) * tile
     rows = npad // LANES
     grid = (rows // tile_rows,)
 
     flat = jnp.arange(npad, dtype=jnp.int32)
     px = (flat % width).reshape(rows, LANES)
-    py = jnp.minimum(flat // width, height - 1).reshape(rows, LANES)
+    py = (jnp.minimum(flat // width + jnp.asarray(row0, jnp.int32), height - 1)
+          .reshape(rows, LANES))
 
     cam = jnp.concatenate([
         jnp.asarray(inv_proj, jnp.float32).ravel(),
