@@ -128,3 +128,18 @@ def test_train_step_descends():
     # geometry untouched by the optimizer
     np.testing.assert_array_equal(np.asarray(s.sphere_pos_radius),
                                   np.asarray(scene.sphere_pos_radius))
+
+
+def test_kernel_and_oracle_backends_agree():
+    """The production (Pallas kernel, blocked env) and test (XLA oracle,
+    planar env) dist backends produce identical sharded frames."""
+    cam, scene, inv_p, inv_v, pos, env = setup()
+    cfg = RenderConfig(width=32, height=16, ray_depth=4, spp=1)
+    mesh = make_mesh(dp=4, sp=2)
+    got_k, rays_k = make_dist_renderer(mesh, cfg, backend="kernel")(
+        scene, env, inv_p, inv_v, cam.focal_length, cam.aperture_diameter, 1)
+    got_o, rays_o = make_dist_renderer(mesh, cfg, backend="oracle")(
+        scene, env, inv_p, inv_v, cam.focal_length, cam.aperture_diameter, 1)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(got_o),
+                               rtol=1e-6, atol=1e-6)
+    assert int(rays_k) == int(rays_o)

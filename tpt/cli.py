@@ -114,27 +114,66 @@ def cmd_render(args) -> int:
     else:
         state = init_accumulator(cfg.height, cfg.width)
 
-    if args.backend == "kernel":
-        from .kernels.render import render_frame as frame_fn
-    else:
-        from .reference import render_frame as frame_fn
-
     t0 = time.time()
     total_rays = 0
-    report_every = max(1, args.frames // 10)
-    for i in range(args.frames):
-        image, rays = frame_fn(scene, env_faces, camera, cfg, int(state.frame))
-        from .progressive import accumulate
-        state = accumulate(state, image)
-        total_rays += int(rays)
-        if (i + 1) % report_every == 0 or i + 1 == args.frames:
+    if args.backend == "kernel":
+        # Production path: fused chunks of (trace kernel -> one-row-gather
+        # env fetch -> donated accumulate) in one device program, with the
+        # scan loops specialized to the scene's primitive counts.
+        import jax
+        import jax.numpy as jnp
+        from .camera import camera_matrices
+        from .env import pack_block_table
+        from .kernels.render import progressive_frames
+        # static counts fully unroll the primitive loops — the fast path on
+        # TPU (Mosaic hoists the SMEM reads), but a compile-time explosion
+        # for the interpreter-mode kernel on CPU, so specialize on TPU only
+        counts = ((int(scene.num_spheres), int(scene.num_cuboids))
+                  if jax.default_backend() == "tpu" else None)
+        env_table = pack_block_table(env_faces)
+        inv_p, inv_v, _ = camera_matrices(camera, cfg.width, cfg.height)
+        focal = jnp.float32(camera.focal_length)
+        aperture = jnp.float32(camera.aperture_diameter)
+
+        def run_chunk(state, n):
+            state, rays = progressive_frames(
+                state, scene, env_table, inv_p, inv_v,
+                jnp.int32(int(state.frame)), focal, aperture,
+                width=cfg.width, height=cfg.height, ray_depth=cfg.ray_depth,
+                spp=cfg.spp, counts=counts, n_frames=n)
+            return state, int(rays)
+
+        done = 0
+        while done < args.frames:
+            n = min(args.chunk, args.frames - done)
+            state, rays = run_chunk(state, n)
+            done += n
+            total_rays += rays
             dt = time.time() - t0
             mrays = total_rays / dt / 1e6 if dt > 0 else 0.0
             print(f"frame {int(state.frame)}/{args.frames}  "
                   f"samples/px {int(samples_per_pixel(state, cfg.spp))}  "
                   f"{mrays:.1f} Mrays/s", flush=True)
-        if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
-            save_checkpoint(args.checkpoint, state)
+            if args.checkpoint and (done % args.checkpoint_every == 0
+                                    or done == args.frames):
+                save_checkpoint(args.checkpoint, state)
+    else:
+        from .progressive import accumulate
+        from .reference import render_frame as frame_fn
+        report_every = max(1, args.frames // 10)
+        for i in range(args.frames):
+            image, rays = frame_fn(scene, env_faces, camera, cfg,
+                                   int(state.frame))
+            state = accumulate(state, image)
+            total_rays += int(rays)
+            if (i + 1) % report_every == 0 or i + 1 == args.frames:
+                dt = time.time() - t0
+                mrays = total_rays / dt / 1e6 if dt > 0 else 0.0
+                print(f"frame {int(state.frame)}/{args.frames}  "
+                      f"samples/px {int(samples_per_pixel(state, cfg.spp))}  "
+                      f"{mrays:.1f} Mrays/s", flush=True)
+            if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
+                save_checkpoint(args.checkpoint, state)
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, state)
@@ -203,6 +242,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     p.add_argument("--out-dir", default="Screenshots")
     p.add_argument("--backend", default="kernel", choices=["kernel", "oracle"])
+    p.add_argument("--chunk", type=int, default=8,
+                   help="frames fused per device program (kernel backend)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--resume", default=None)

@@ -274,10 +274,10 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
     )(counts_arr, frame, cam, sphere_geom, sphere_mat, cuboid_geom, cuboid_mat, px, py)
 
     def unflatten(a):
-        # [..., rows, LANES] -> [..., height, width]
+        # [..., rows, LANES] -> [..., n_rows, width]
         lead = a.shape[:-2]
         a = a.reshape(lead + (npad,))[..., :npix]
-        return a.reshape(lead + (height, width))
+        return a.reshape(lead + (n_rows, width))
 
     return TraceResult(radiance=unflatten(rad), miss_dir=unflatten(missd),
                        miss_thr=unflatten(misst), ray_count=unflatten(rays),

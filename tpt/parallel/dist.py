@@ -46,7 +46,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = functools.partial(jax.shard_map, check_vma=False)
 
 from ..config import RenderConfig
-from ..integrator import (apply_environment, camera_params, compose_trace_fn,
+from ..env import pack_block_table
+from ..integrator import (apply_environment, apply_environment_blocked,
+                          camera_params, compose_trace_fn,
                           make_scene_scan_fn, make_xla_gather_fn, trace_paths)
 from ..scene import Scene
 
@@ -66,7 +68,8 @@ def _pad_rows(height: int, dp: int) -> int:
     return -(-height // dp) * dp
 
 
-def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None):
+def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
+                       backend: str = "kernel"):
     """Sharded frame renderer.
 
     Returns jit(fn)(scene, env_faces, inv_proj, inv_view, focal, aperture,
@@ -75,7 +78,15 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
     ``n_sample_groups`` independent sample groups run over the 'sp' axis
     (default: the axis size); each group renders cfg.spp samples with its
     own RNG stream, psum-meaned at the end.
+
+    ``backend``: 'kernel' (production — the Pallas trace kernel runs on each
+    device's row band, env fetched via the one-row-gather block table) or
+    'oracle' (the XLA integrator; the test reference).  Both are bit-exact
+    to a whole-frame single-chip render under pure dp sharding, because
+    seeds depend only on absolute pixel coords.
     """
+    if backend not in ("kernel", "oracle"):
+        raise ValueError(f"unknown backend {backend!r}")
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     groups = n_sample_groups or sp
@@ -85,32 +96,41 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
     hpad = _pad_rows(cfg.height, dp)
     rows_local = hpad // dp
     width, height, ray_depth, spp = cfg.width, cfg.height, cfg.ray_depth, cfg.spp
+    counts = cfg.static_counts
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("dp", None, None), P()),
     )
-    def render_block(scene, env_faces, inv_proj, inv_view, focal, aperture, frame):
+    def render_block(scene, env, inv_proj, inv_view, focal, aperture, frame):
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
         y0 = dp_idx * rows_local
-        py = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 0)
-        py = jnp.minimum(py, height - 1)  # padded rows recompute the last row
-        px = jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 1)
-
-        scan = make_scene_scan_fn(scene)
-        gather = make_xla_gather_fn(scene)
-        cam = camera_params(inv_proj, inv_view, focal, aperture)
 
         acc = jnp.zeros((3, rows_local, width), jnp.float32)
         rays = jnp.int32(0)
         for g in range(groups_per_shard):
             group_id = sp_idx * groups_per_shard + g
             frame_eff = frame * groups + group_id
-            res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
-                              width, height, frame_eff, ray_depth, spp)
-            acc = acc + apply_environment(res, env_faces, spp)
+            if backend == "kernel":
+                from ..kernels.trace import pallas_trace
+                res = pallas_trace(scene, inv_proj, inv_view, frame_eff,
+                                   focal, aperture, width=width, height=height,
+                                   ray_depth=ray_depth, spp=spp, counts=counts,
+                                   n_rows=rows_local, row0=y0)
+                acc = acc + apply_environment_blocked(res, env, spp)
+            else:
+                py = y0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_local, width), 0)
+                py = jnp.minimum(py, height - 1)  # pad rows redo the last row
+                px = jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 1)
+                scan = make_scene_scan_fn(scene, counts=counts)
+                gather = make_xla_gather_fn(scene)
+                cam = camera_params(inv_proj, inv_view, focal, aperture)
+                res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
+                                  width, height, frame_eff, ray_depth, spp)
+                acc = acc + apply_environment(res, env, spp)
             rays = rays + jnp.sum(res.ray_count)
 
         acc = jax.lax.psum(acc, "sp") / np.float32(groups)
@@ -120,7 +140,8 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
 
     @jax.jit
     def render(scene, env_faces, inv_proj, inv_view, focal, aperture, frame):
-        image, rays = render_block(scene, env_faces, inv_proj, inv_view,
+        env = pack_block_table(env_faces) if backend == "kernel" else env_faces
+        image, rays = render_block(scene, env, inv_proj, inv_view,
                                    jnp.float32(focal), jnp.float32(aperture),
                                    jnp.int32(frame))
         return image[:height], rays
