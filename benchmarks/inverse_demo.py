@@ -1,0 +1,124 @@
+"""BASELINE config 5: demo-scene-scale inverse rendering on one chip.
+
+Recovers perturbed material parameters (albedo + emissive across many
+objects) of the 48-sphere/7-cuboid demo scene by pixel-MSE gradient descent
+against a rendered target, using the production differentiable path
+(Pallas forward + Pallas backward, tpt.kernels.trace_grad).
+
+The detached-decision estimator's bias characterization: discrete choices
+(BSDF lobe pick, Russian-roulette survival, closest-hit winner) carry no
+gradient, so parameters are recovered through the continuous factors only
+(throughput products, emission pickup, Fresnel weights, Beer exponents).
+For albedo/emissive at fixed geometry this estimator is unbiased in
+expectation over RNG; convergence below is the empirical check.
+
+Usage: python benchmarks/inverse_demo.py [--steps N] [--size WxH]
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--size", default="256x256")
+    ap.add_argument("--lr", type=float, default=2.0)
+    ap.add_argument("--out", default="artifacts/inverse_demo.json")
+    args = ap.parse_args()
+    width, height = map(int, args.size.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+    from tpt import CameraConfig, demo_scene
+    from tpt.camera import camera_matrices
+    from tpt.env import constant_environment, pack_block_table
+    from tpt.integrator import apply_environment_blocked
+    from tpt.kernels.trace_grad import trace_diff
+
+    ray_depth, spp, counts = 8, 1, (48, 7)
+    cam = CameraConfig()
+    scene = demo_scene().build()
+    inv_p, inv_v, _ = camera_matrices(cam, width, height)
+    env_table = pack_block_table(constant_environment((0.7, 0.8, 1.0)))
+    focal = jnp.float32(cam.focal_length)
+    aperture = jnp.float32(cam.aperture_diameter)
+
+    def render(sm, cm, frame):
+        s = dataclasses.replace(scene, sphere_material=sm, cuboid_material=cm)
+        res = trace_diff(s, inv_p, inv_v, frame, focal, aperture,
+                         jnp.int32(0), width, height, ray_depth, spp, counts)
+        return jnp.moveaxis(apply_environment_blocked(res, env_table, spp),
+                            0, -1)
+
+    # target: the true scene, fixed RNG stream
+    true_sm, true_cm = scene.sphere_material, scene.cuboid_material
+
+    @jax.jit
+    def target_frame(frame):
+        return render(true_sm, true_cm, frame)
+
+    # perturb albedo (lanes 0:3) and emissive (lanes 4:7) of every object
+    rng = np.random.default_rng(11)
+    sm0 = np.asarray(true_sm).copy()
+    cm0 = np.asarray(true_cm).copy()
+    sm0[:48, 0:3] = rng.uniform(0.2, 0.9, (48, 3))
+    cm0[:7, 4:7] = np.clip(cm0[:7, 4:7] + rng.uniform(-1, 1, (7, 3)), 0, None)
+    cm0[:7, 0:3] = rng.uniform(0.2, 0.9, (7, 3))
+    # optimize only albedo+emissive lanes
+    mask_s = np.zeros_like(sm0); mask_s[:48, 0:7] = 1.0; mask_s[:, 3] = 0.0
+    mask_c = np.zeros_like(cm0); mask_c[:7, 0:7] = 1.0; mask_c[:, 3] = 0.0
+
+    @jax.jit
+    def step(params, frame, target, lr):
+        def loss_fn(p):
+            img = render(p[0], p[1], frame)
+            err = img - target
+            return jnp.mean(err * err)
+        loss, (gs, gc) = jax.value_and_grad(loss_fn)(params)
+        sm, cm = params
+        return ((sm - lr * gs * mask_s, cm - lr * gc * mask_c), loss)
+
+    params = (jnp.asarray(sm0), jnp.asarray(cm0))
+    t0 = time.time()
+    losses = []
+    for i in range(args.steps):
+        frame = jnp.int32(i)
+        tgt = target_frame(frame)
+        params, loss = step(params, frame, tgt, jnp.float32(args.lr))
+        if i % 20 == 0 or i == args.steps - 1:
+            losses.append(float(loss))
+            print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
+
+    sm_err0 = float(np.abs(sm0[:48, 0:7] - np.asarray(true_sm)[:48, 0:7]).mean())
+    sm_err = float(np.abs(np.asarray(params[0])[:48, 0:7]
+                          - np.asarray(true_sm)[:48, 0:7]).mean())
+    cm_err0 = float(np.abs(cm0[:7, 0:7] - np.asarray(true_cm)[:7, 0:7]).mean())
+    cm_err = float(np.abs(np.asarray(params[1])[:7, 0:7]
+                          - np.asarray(true_cm)[:7, 0:7]).mean())
+    wall = time.time() - t0
+    result = {
+        "metric": "inverse_demo_material_recovery",
+        "steps": args.steps, "size": args.size, "wall_s": round(wall, 1),
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "sphere_param_mae_before": round(sm_err0, 4),
+        "sphere_param_mae_after": round(sm_err, 4),
+        "cuboid_param_mae_before": round(cm_err0, 4),
+        "cuboid_param_mae_after": round(cm_err, 4),
+    }
+    print(json.dumps(result))
+    import os
+    os.makedirs("artifacts", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

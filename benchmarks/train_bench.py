@@ -1,0 +1,103 @@
+"""Inverse-rendering step benchmark at 1080p (BASELINE config 5 scale).
+
+Times one full gradient step (forward + backward + SGD update on the
+material tables) of a pixel-MSE loss on the demo scene:
+
+  kernel : Pallas forward + Pallas backward (tpt.kernels.trace_grad)
+  oracle : Pallas forward + oracle-replay backward (tpt.diff.render_diff)
+
+Usage: python benchmarks/train_bench.py [kernel|oracle] [--size WxH]
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    size = "1920x1080"
+    for a in sys.argv[2:]:
+        if a.startswith("--size"):
+            size = a.split("=")[1]
+    width, height = map(int, size.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+    from tpt import CameraConfig, demo_scene
+    from tpt.camera import camera_matrices
+    from tpt.env import constant_environment, pack_block_table
+    from tpt.integrator import apply_environment_blocked
+
+    ray_depth, spp, counts = 13, 1, (48, 7)
+    cam = CameraConfig()
+    scene = demo_scene().build()
+    inv_p, inv_v, _ = camera_matrices(cam, width, height)
+    env = constant_environment((0.7, 0.8, 1.0))
+    env_table = pack_block_table(env)
+    focal = jnp.float32(cam.focal_length)
+    aperture = jnp.float32(cam.aperture_diameter)
+    target = jnp.zeros((height, width, 3), jnp.float32) + 0.25
+
+    if which == "kernel":
+        from tpt.kernels.trace_grad import trace_diff
+        import dataclasses
+
+        def loss_fn(params, frame):
+            sm, cm = params
+            s = dataclasses.replace(scene, sphere_material=sm,
+                                    cuboid_material=cm)
+            res = trace_diff(s, inv_p, inv_v, frame, focal, aperture,
+                             jnp.int32(0), width, height, ray_depth, spp,
+                             counts)
+            img = jnp.moveaxis(
+                apply_environment_blocked(res, env_table, spp), 0, -1)
+            err = img - target
+            return jnp.mean(err * err)
+
+        @jax.jit
+        def step(params, frame):
+            loss, grads = jax.value_and_grad(loss_fn)(params, frame)
+            return jax.tree.map(lambda p, g: p - 0.01 * g, params, grads), loss
+
+        params = (scene.sphere_material, scene.cuboid_material)
+        t0 = time.time()
+        params, loss = step(params, jnp.int32(0))
+        print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.5f}",
+              flush=True)
+        ts = []
+        for i in range(5):
+            t0 = time.time()
+            params, loss = step(params, jnp.int32(i + 1))
+            _ = float(loss)
+            ts.append(time.time() - t0)
+        print(f"kernel bwd step: {np.median(ts)*1e3:.1f} ms median "
+              f"(loss {float(loss):.5f})", flush=True)
+    else:
+        from tpt.parallel import make_dist_renderer, make_mesh, make_train_step
+        from tpt.config import RenderConfig
+        cfg = RenderConfig(width=width, height=height, ray_depth=ray_depth,
+                           spp=spp)
+        mesh = make_mesh(dp=1, sp=1)
+        step = make_train_step(mesh, cfg, counts=counts)
+        t0 = time.time()
+        new_scene, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
+                               cam.aperture_diameter, 0, target, 0.01)
+        print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.5f}",
+              flush=True)
+        ts = []
+        for i in range(3):
+            t0 = time.time()
+            new_scene, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
+                                   cam.aperture_diameter, i + 1, target, 0.01)
+            _ = float(loss)
+            ts.append(time.time() - t0)
+        print(f"oracle bwd step: {np.median(ts)*1e3:.1f} ms median "
+              f"(loss {float(loss):.5f})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

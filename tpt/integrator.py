@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from . import rng
 from .config import MAX_SPHERES, KERNEL_EPSILON
-from .vecmath import dot3, normalize3, where3, max3, mix, mix3
+from .vecmath import bcast3, dot3, normalize3, where3, max3, mix, mix3
 from .ops.intersect import (FLOAT_MAX, ray_sphere, ray_cuboid,
                             smallest_positive, sphere_normal, cuboid_normal)
 from .ops.sampling import cosine_sample_hemisphere, uniform_sample_unit_circle
@@ -214,6 +214,121 @@ def make_scene_scan_fn(scene, counts: Tuple[int, int] | None = None) -> ScanFn:
     return make_scan_fn(get_sphere, get_cuboid, ns, nc)
 
 
+ATTR_ROWS = 128   # one-hot lane width; static n_spheres + n_cuboids must fit
+ATTR_COLS = 24    # 0:4 sphere geom | 4:10 cuboid geom | 10:24 material
+
+
+def build_attr_table(scene, counts: Tuple[int, int]):
+    """Pack the differentiable scene parameters into the unified winner-
+    attribute table f32[ATTR_ROWS, ATTR_COLS] consumed by the one-hot trace:
+    row i < ns = sphere i, row ns + j = cuboid j; zero-padded.
+
+    Pure XLA and differentiable — the gradient of a render w.r.t. the table
+    unpacks to scene-leaf cotangents by transposing this construction."""
+    ns, nc = counts
+    if ns + nc > ATTR_ROWS:
+        raise ValueError(f"one-hot trace supports <= {ATTR_ROWS} primitives, "
+                         f"got {ns}+{nc}")
+    sph = jnp.concatenate([
+        scene.sphere_pos_radius[:ns],                      # 0:4
+        jnp.zeros((ns, 6), jnp.float32),                   # 4:10
+        scene.sphere_material[:ns, :14],                   # 10:24
+    ], axis=1)
+    cub = jnp.concatenate([
+        jnp.zeros((nc, 4), jnp.float32),
+        scene.cuboid_min[:nc], scene.cuboid_max[:nc],
+        scene.cuboid_material[:nc, :14],
+    ], axis=1)
+    table = jnp.concatenate([sph, cub], axis=0)
+    return jnp.pad(table, ((0, ATTR_ROWS - ns - nc), (0, 0)))
+
+
+@jax.custom_vjp
+def _onehot_rows(table, oh):
+    """rows[..., k] = sum_r oh[..., r] * table[r, k] — the MXU gather.
+
+    The autodiff transpose of this dot_general is not Mosaic-lowerable, so
+    the backward is hand-phrased as per-sublane [L, R] x [L, K] contractions
+    over the leading batch dim (benchmarks/exp_bwd_probes.py p8)."""
+    nb = oh.ndim - 1
+    return jax.lax.dot_general(oh, table, (((nb,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _onehot_rows_fwd(table, oh):
+    return _onehot_rows(table, oh), oh
+
+
+def _onehot_rows_bwd(oh, g):
+    oh2 = oh.reshape((-1,) + oh.shape[-2:])     # [B, L, R]
+    g2 = g.reshape((-1,) + g.shape[-2:])        # [B, L, K]
+    d = jnp.zeros((oh.shape[-1], g.shape[-1]), jnp.float32)
+    for i in range(oh2.shape[0]):
+        d = d + jax.lax.dot_general(oh2[i], g2[i], (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    return d, jnp.zeros_like(oh)
+
+
+_onehot_rows.defvjp(_onehot_rows_fwd, _onehot_rows_bwd)
+
+
+def make_onehot_trace_fn(scan_fn: ScanFn, table, num_spheres: int) -> TraceFn:
+    """Differentiable closest-hit trace: detached scan fold for the winner
+    index, MXU one-hot gather for the winner attributes, and the winning
+    intersection distance *recomputed* from the gathered geometry.
+
+    This is the TPU-native formulation of differentiable closest-hit: the
+    discrete argmin is detached (standard detached-decision estimator), the
+    continuous quantities (t, normals via gathered geometry, material
+    values) flow through the one-hot matmul — so the transpose accumulates
+    parameter cotangents with MXU contractions instead of 55 x 24 masked
+    lane reductions.
+
+    Primal values are bit-identical to compose_trace_fn(scan, gather): the
+    recomputed t applies the same intersector to the same winner values.
+    ``table``: build_attr_table output; ``num_spheres``: static count used
+    in the fold's index encoding."""
+
+    def trace(origin, direction):
+        found, idx, _t_fold, inside = scan_fn(
+            jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction))
+        is_sphere = (idx >= 0) & (idx < MAX_SPHERES)
+        row = jnp.where(idx < 0, -1,
+                        jnp.where(is_sphere, idx, idx - MAX_SPHERES + num_spheres))
+        oh = (row[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, row.shape + (ATTR_ROWS,), row.ndim)).astype(jnp.float32)
+        attrs = _onehot_rows(table, jax.lax.stop_gradient(oh))
+
+        def ch(k):
+            return attrs[..., k]
+
+        center = jnp.stack([ch(0), ch(1), ch(2)])
+        radius = ch(3)
+        cmin = jnp.stack([ch(4), ch(5), ch(6)])
+        cmax = jnp.stack([ch(7), ch(8), ch(9)])
+        mat = jnp.stack([ch(10 + k) for k in range(14)])
+
+        # Recompute the winning t differentiably (one intersector per lane).
+        # Gradient hygiene: axis-parallel rays give ray_cuboid infinite
+        # partials (1/d); neutralize the direction on lanes whose winner is
+        # not a cuboid so 0-cotangent x inf can't NaN the transpose.
+        use_cub = found & ~is_sphere
+        dir_c = where3(use_cub, direction, direction * 0.0 + 1.0)
+        t1s, t2s, _oks = ray_sphere(origin, direction, center,
+                                    jnp.maximum(radius, EPS))
+        t1c, t2c, _okc = ray_cuboid(origin, dir_c, cmin, cmax)
+        t1 = jnp.where(is_sphere, t1s, t1c)
+        t2 = jnp.where(is_sphere, t2s, t2c)
+        t = smallest_positive(t1, t2)
+
+        winner = Winner(material=mat, sphere_center=center,
+                        sphere_radius=radius, cuboid_min=cmin,
+                        cuboid_max=cmax, is_sphere=is_sphere)
+        return found, t, inside, winner
+
+    return trace
+
+
 @dataclasses.dataclass(frozen=True)
 class PathState:
     """Per-lane bounce-loop carry."""
@@ -260,16 +375,16 @@ def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
     t_safe = jnp.where(found, t, 1.0)            # miss lanes carry FLOAT_MAX
     ior_safe = jnp.maximum(ior, EPS)             # padded materials carry 0
 
-    hp = o + d * t_safe[None]
+    hp = o + d * bcast3(t_safe)
     n_raw = where3(w.is_sphere,
                    sphere_normal(w.sphere_center,
-                                 jnp.maximum(w.sphere_radius, EPS)[None], hp),
+                                 bcast3(jnp.maximum(w.sphere_radius, EPS)), hp),
                    cuboid_normal(w.cuboid_min, w.cuboid_max, hp))
     n = where3(inside, -n_raw, n_raw)
 
     # Beer's law when exiting a medium (compute.glsl:145-149)
     t_beer = jnp.where(hit & inside, t_safe, 0.0)
-    thr = where3(hit & inside, thr * jnp.exp(-absorb * t_beer[None]), thr)
+    thr = where3(hit & inside, thr * jnp.exp(-absorb * bcast3(t_beer)), thr)
 
     # --- BSDF lobe probabilities (compute.glsl:184-195) ---
     n1 = jnp.where(inside, ior_safe, 1.0)
@@ -293,17 +408,17 @@ def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
 
     # --- lobe directions ---
     refl_pure = reflect3(d, n)
-    refl_dir = normalize3(mix3(refl_pure, diffuse_ray, (spec_rough * spec_rough)[None]),
+    refl_dir = normalize3(mix3(refl_pure, diffuse_ray, bcast3(spec_rough * spec_rough)),
                           eps=np.float32(1e-20))
     eta = jnp.where(inside, ior_safe, 1.0 / ior_safe)
     refr_raw, _tir = refract3(d, n, eta)
     hemi_neg = cosine_sample_hemisphere(-n, r_z2, r_a2)
-    refr_mixed = mix3(refr_raw, hemi_neg, (refr_rough * refr_rough)[None])
+    refr_mixed = mix3(refr_raw, hemi_neg, bcast3(refr_rough * refr_rough))
     refr_len2 = dot3(refr_mixed, refr_mixed)
     # TIR with ~zero roughness degenerates to the zero vector (shader UB);
     # defined policy: mirror reflection.
     refr_dir = where3(refr_len2 > 1e-12,
-                      refr_mixed / jnp.sqrt(jnp.maximum(refr_len2, np.float32(1e-12))),
+                      refr_mixed / bcast3(jnp.sqrt(jnp.maximum(refr_len2, np.float32(1e-12)))),
                       refl_pure)
 
     new_d = where3(take_spec, refl_dir, where3(take_refr, refr_dir, diffuse_ray))
@@ -315,7 +430,7 @@ def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
     # --- throughput / radiance updates (compute.glsl:156-164) ---
     rad = rad + where3(hit, emissive * thr, jnp.float32(0.0))
     thr_after = jnp.where((hit & ~take_refr)[None], thr * albedo, thr)
-    thr_after = jnp.where(hit[None], thr_after / p[None], thr_after)
+    thr_after = jnp.where(hit[None], thr_after / bcast3(p), thr_after)
 
     # --- Russian roulette (compute.glsl:166-173) ---
     p_max = max3(thr_after)
@@ -323,7 +438,7 @@ def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
     die = rr_roll > p_max
     survive = hit & ~die
     p_max_safe = jnp.where(survive, p_max, 1.0)
-    thr_after = jnp.where(survive[None], thr_after / p_max_safe[None], thr_after)
+    thr_after = jnp.where(survive[None], thr_after / bcast3(p_max_safe), thr_after)
 
     # --- escaped rays: defer the environment fetch ---
     miss_dir = where3(miss, d, state.miss_dir)
@@ -352,10 +467,17 @@ class TraceResult(NamedTuple):
 
 def trace_paths(trace_fn: TraceFn, cam: CameraParams,
                 px, py, width: int, height: int, frame,
-                ray_depth: int, spp: int, remat: bool = False) -> TraceResult:
+                ray_depth: int, spp: int, remat: bool = False,
+                step_fn=None) -> TraceResult:
     """Full per-pixel sampling loop (compute.glsl:101-130), environment
     fetch deferred.  ``px``/``py`` are integer pixel coords (GL convention:
-    y bottom-up) of any batch shape."""
+    y bottom-up) of any batch shape.
+
+    ``step_fn``: optional PathState -> PathState override for one bounce.
+    The Pallas backward kernel injects a custom-vjp remat bounce here
+    (jax.checkpoint lowers to closed_call, which Mosaic rejects); when set,
+    the all-dead tile skip is disabled (lax.cond under vjp complicates the
+    transpose for no benefit in a gradient pass)."""
     batch = px.shape
     seed = rng.pixel_seed(px, py, frame)
     fpx = jnp.asarray(px, jnp.float32)
@@ -388,17 +510,17 @@ def trace_paths(trace_fn: TraceFn, cam: CameraParams,
         # eye ray (compute.glsl:352-357): invP @ (u, v, -1, 0), zw := (-1, 0)
         ex = cam.ip00 * u + cam.ip01 * v - cam.ip02
         ey = cam.ip10 * u + cam.ip11 * v - cam.ip12
-        d = normalize3(right * ex[None] + up * ey[None] - backward)
+        d = normalize3(right * bcast3(ex) + up * bcast3(ey) - backward)
         o = eye  # ViewPos == inv_view translation (src/MainWindow.cs:132)
 
         # thin-lens DoF (compute.glsl:117-121)
-        focal_point = o + d * focal_length
+        focal_point = o + d * bcast3(jnp.broadcast_to(focal_length, batch))
         r_angle, seed = rng.random_float01(seed)
         r_radius, seed = rng.random_float01(seed)
         cx, cy = uniform_sample_unit_circle(r_angle, r_radius)
         off_x = aperture_diameter * 0.5 * cx
         off_y = aperture_diameter * 0.5 * cy
-        o = eye + right * off_x[None] + up * off_y[None]
+        o = eye + right * bcast3(off_x) + up * bcast3(off_y)
         d = normalize3(focal_point - o)
 
         state = PathState(
@@ -423,7 +545,13 @@ def trace_paths(trace_fn: TraceFn, cam: CameraParams,
                 lambda s: bounce_step(s, trace_fn),
                 lambda s: s, st)
 
-        if remat:
+        if step_fn is not None:
+            # lax.scan compiles ONE bounce body (+ its custom-vjp transpose)
+            # regardless of ray_depth — the unrolled form made the backward
+            # kernel's Mosaic compile time explode
+            state, _ = jax.lax.scan(lambda s, _: (step_fn(s), None),
+                                    state, None, length=ray_depth)
+        elif remat:
             # reverse-mode memory: store only the inter-bounce carry and
             # recompute each bounce's internals in the backward sweep
             step = jax.checkpoint(lambda s: bounce_step(s, trace_fn))

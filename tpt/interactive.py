@@ -1,122 +1,336 @@
-"""Interactive progressive viewer (matplotlib).
+"""Interactive progressive viewer.
 
-Headless-first framework, optional window: the viewer mirrors the reference
-app's loop — progressive accumulation that resets on camera motion or
-parameter edits, WASD+QE navigation (the Camera.ProcessInputs physics via
-tpt.camera_controller), click-to-pick showing object/material info
-(src/Render/Gui.cs:223-262), and 'p' for a Samples_{N}.png screenshot.
+Headless-first framework, optional window.  The loop mirrors the reference
+app: progressive accumulation that resets on camera motion or any edit,
+WASD+QE navigation and mouse-look (Camera.ProcessInputs physics,
+src/Camera.cs:35-77), and every ImGui control of src/Render/Gui.cs mapped
+to a live action:
 
-Run: ``python -m tpt.interactive [--scene demo] [--size 256]`` (requires a
-display or an Agg-incompatible backend will refuse; everything else in the
-framework stays usable without matplotlib).
+  Overview panel      -> screenshot 'p' (Samples_{N}.png, Gui.cs:28-33),
+                         spp  '-'/'='   (range 1-10,  Gui.cs:40),
+                         depth '['/']'  (range 1-50,  Gui.cs:48),
+                         focal 'f'/'g'  (step 0.1,    Gui.cs:55),
+                         aperture 'v'/'b' (step 0.002, Gui.cs:62),
+                         random materials 'M' (36 grid spheres, Gui.cs:69-73)
+  EnvironmentMap panel-> env toggle 'e' (skybox <-> atmosphere, Gui.cs:80-87),
+                         atmosphere time 't'/'y' (re-runs the precompute,
+                         Gui.cs:114-144)
+  GameObjectProperties-> left-click picks (CPU ray cast, Gui.cs:223-262);
+                         arrows / 'u'/'o' move the picked object,
+                         'm' randomizes its material, '<'/'>' scales
+                         specular chance with the reference's cross-clamp
+                         (spec + refr <= 1, Gui.cs:193,205)
+
+All state and edit logic live in :class:`ViewerSession` (pure host code —
+unit-tested headless in tests/test_interactive.py); matplotlib is only the
+optional display shell.
+
+Run: ``python -m tpt.interactive [--scene demo] [--size 256]``.
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
 
 import numpy as np
 
+from .config import AtmosphereConfig, CameraConfig, RenderConfig
 
-def run_viewer(scene_name: str = "demo", size: int = 256, env_name: str = "atmosphere",
-               frames_per_draw: int = 1) -> int:
+
+class ViewerSession:
+    """The reference app's mutable runtime state, functional-core style:
+    scene/env/camera/accumulator plus one method per GUI control."""
+
+    def __init__(self, scene_name: str = "demo", size: int = 256,
+                 env_name: str = "atmosphere", atmosphere_size: int = 128,
+                 screenshot_dir: str = "Screenshots"):
+        from . import init_accumulator
+        from .camera_controller import CameraState
+        from .cli import _build_scene
+
+        self.cfg = RenderConfig(width=size, height=size)
+        self.builder = _build_scene(scene_name)
+        self.scene = self.builder.build()
+        self.base_cam = CameraConfig()
+        self.cam = CameraState.from_config(self.base_cam)
+        self.atmo = AtmosphereConfig(size=atmosphere_size, i_steps=30,
+                                     j_steps=10)
+        self.env_is_atmosphere = env_name == "atmosphere"
+        self._skybox = None  # lazily built constant/file skybox
+        self.env_faces = self._make_env()
+        self.acc = init_accumulator(self.cfg.height, self.cfg.width)
+        self.picked = None  # (kind str, index int) into builder lists
+        self.screenshot_dir = screenshot_dir
+        self.frame_changed = False
+
+    # ---- environment (Gui.cs:80-144) ----
+    def _make_env(self):
+        if self.env_is_atmosphere:
+            from .sky import compute_atmosphere
+            return compute_atmosphere(self.atmo)
+        if self._skybox is None:
+            from .env import constant_environment
+            self._skybox = constant_environment((0.7, 0.8, 1.0))
+        return self._skybox
+
+    def toggle_environment(self):
+        self.env_is_atmosphere = not self.env_is_atmosphere
+        self.env_faces = self._make_env()
+        self.invalidate()
+
+    def set_atmosphere(self, **kw):
+        """Change atmosphere params (time/i_steps/j_steps/light_intensity/
+        size) and re-run the precompute — the GUI re-dispatch path."""
+        self.atmo = dataclasses.replace(self.atmo, **kw)
+        if self.env_is_atmosphere:
+            self.env_faces = self._make_env()
+            self.invalidate()
+
+    def adjust_time(self, delta: float):
+        self.set_atmosphere(time=float(self.atmo.time + delta))
+
+    # ---- tracer params (Gui.cs:40-66; ranges identical) ----
+    def adjust_spp(self, delta: int):
+        self.cfg = dataclasses.replace(
+            self.cfg, spp=int(np.clip(self.cfg.spp + delta, 1, 10)))
+        self.invalidate()
+
+    def adjust_ray_depth(self, delta: int):
+        self.cfg = dataclasses.replace(
+            self.cfg, ray_depth=int(np.clip(self.cfg.ray_depth + delta, 1, 50)))
+        self.invalidate()
+
+    def adjust_focal(self, delta: float):
+        self.base_cam = dataclasses.replace(
+            self.base_cam, focal_length=float(self.base_cam.focal_length + delta))
+        self.invalidate()
+
+    def adjust_aperture(self, delta: float):
+        self.base_cam = dataclasses.replace(
+            self.base_cam,
+            aperture_diameter=float(self.base_cam.aperture_diameter + delta))
+        self.invalidate()
+
+    # ---- camera (src/Camera.cs) ----
+    def tick(self, dt: float, keys=(), mouse_delta=(0.0, 0.0)) -> bool:
+        from .camera_controller import process_inputs
+        self.cam, changed = process_inputs(self.cam, dt, keys, mouse_delta)
+        if changed:
+            self.invalidate()
+        return changed
+
+    # ---- picking + object editing (Gui.cs:156-262) ----
+    def pick(self, x: float, y_gl: float):
+        from .camera import camera_matrices
+        from .pick import pick_pixel
+        from .scene import SphereObject
+        cam_cfg = self.cam.to_config(self.base_cam)
+        inv_p, inv_v, pos = camera_matrices(cam_cfg, self.cfg.width,
+                                            self.cfg.height)
+        obj, t1, t2 = pick_pixel(self.builder, inv_p, inv_v, pos, x, y_gl,
+                                 self.cfg.width, self.cfg.height)
+        if obj is None:
+            self.picked = None
+            return None
+        kind = "sphere" if isinstance(obj, SphereObject) else "cuboid"
+        group = (self.builder.spheres if kind == "sphere"
+                 else self.builder.cuboids)
+        self.picked = (kind, group.index(obj))
+        return obj
+
+    def _picked_obj(self):
+        if self.picked is None:
+            return None
+        kind, idx = self.picked
+        group = (self.builder.spheres if kind == "sphere"
+                 else self.builder.cuboids)
+        return group[idx]
+
+    def move_picked(self, delta3) -> bool:
+        obj = self._picked_obj()
+        if obj is None:
+            return False
+        obj.position = tuple(float(p + d) for p, d in
+                             zip(obj.position, delta3))
+        self._rebuild()
+        return True
+
+    def set_picked_material(self, **params) -> bool:
+        """Edit the picked object's material with the reference GUI's
+        cross-clamping (spec in [0,1]; refr in [0, 1-spec]; IOR >= 1)."""
+        from .materials import Material
+        obj = self._picked_obj()
+        if obj is None:
+            return False
+        m = obj.material
+        vals = dict(albedo=m.albedo, emissive=m.emissive,
+                    absorbance=m.absorbance,
+                    specular_chance=m.specular_chance,
+                    specular_roughness=m.specular_roughness, ior=m.ior,
+                    refraction_chance=m.refraction_chance,
+                    refraction_roughness=m.refraction_roughness)
+        vals.update(params)
+        obj.material = Material.make(**vals)
+        self._rebuild()
+        return True
+
+    def randomize_picked_material(self) -> bool:
+        from .materials import random_material
+        obj = self._picked_obj()
+        if obj is None:
+            return False
+        obj.material = random_material(np.random.default_rng())
+        self._rebuild()
+        return True
+
+    def randomize_grid_materials(self, n: int = 36):
+        """The GUI's random-materials button (src/MainWindow.cs:324-336)."""
+        from .scene import randomize_materials
+        changed = randomize_materials(self.builder, n)
+        self._rebuild()
+        return changed
+
+    def _rebuild(self):
+        self.scene = self.builder.build()
+        self.invalidate()
+
+    # ---- accumulation ----
+    def invalidate(self):
+        from . import reset
+        self.acc = reset(self.acc)
+
+    def render_one(self):
+        """Render + accumulate one progressive frame; returns the display
+        (post-processed sRGB) image as a numpy array."""
+        from . import accumulate
+        from .kernels.render import render_frame
+        from .postfx import post_process
+        cam_cfg = self.cam.to_config(self.base_cam)
+        image, _rays = render_frame(self.scene, self.env_faces, cam_cfg,
+                                    self.cfg, int(self.acc.frame))
+        self.acc = accumulate(self.acc, image)
+        return np.asarray(post_process(self.acc.image))
+
+    def screenshot(self) -> str:
+        from .postfx import post_process
+        from .utils import write_png
+        n = int(self.acc.frame) * self.cfg.spp
+        os.makedirs(self.screenshot_dir, exist_ok=True)
+        path = os.path.join(self.screenshot_dir, f"Samples_{n}.png")
+        write_png(path, np.asarray(post_process(self.acc.image)))
+        return path
+
+    @property
+    def samples_per_pixel(self) -> int:
+        return int(self.acc.frame) * self.cfg.spp
+
+
+def run_viewer(scene_name: str = "demo", size: int = 256,
+               env_name: str = "atmosphere", frames_per_draw: int = 1) -> int:
     try:
-        import matplotlib
         import matplotlib.pyplot as plt
     except ImportError:
         print("interactive viewer requires matplotlib", file=sys.stderr)
         return 1
 
-    import jax.numpy as jnp
-    from . import (AccumulatorState, CameraConfig, RenderConfig, accumulate,
-                   init_accumulator, reset)
-    from .camera import camera_matrices
-    from .camera_controller import CameraState, process_inputs
-    from .cli import _build_scene
-    from .config import AtmosphereConfig
-    from .env import constant_environment
-    from .kernels.render import render_frame
-    from .pick import pick_pixel
-    from .postfx import post_process
-    from .utils import write_png
-
-    cfg = RenderConfig(width=size, height=size)
-    builder = _build_scene(scene_name)
-    scene = builder.build()
-    if env_name == "atmosphere":
-        from .sky import compute_atmosphere
-        env_faces = compute_atmosphere(AtmosphereConfig(size=128, i_steps=30, j_steps=10))
-    else:
-        env_faces = constant_environment((0.7, 0.8, 1.0))
-
-    base_cam = CameraConfig()
-    cam_state = CameraState.from_config(base_cam)
-    acc = init_accumulator(cfg.height, cfg.width)
+    ses = ViewerSession(scene_name, size, env_name)
     keys_down = set()
-
     fig, ax = plt.subplots(figsize=(6, 6))
-    im = ax.imshow(np.zeros((cfg.height, cfg.width, 3)), origin="lower",
-                   interpolation="nearest")
+    im = ax.imshow(np.zeros((ses.cfg.height, ses.cfg.width, 3)),
+                   origin="lower", interpolation="nearest")
     ax.set_axis_off()
-    status = ax.set_title("tpt — WASD+QE move, drag to look, click to pick, p=png")
+    status = ax.set_title("tpt — WASD move, drag look, click pick, p png, "
+                          "-/= spp, [/] depth, f/g focal, v/b apert, "
+                          "e env, t/y time, m/M rnd mat")
 
     key_map = {"w": "w", "a": "a", "s": "s", "d": "d",
                "shift": "shift", "control": "ctrl"}
-    state = {"acc": acc, "cam": cam_state, "drag": None, "dirty": True}
+    drag = {"pos": None, "moved": False, "delta": (0.0, 0.0)}
+    actions = {
+        "p": lambda: print("wrote", ses.screenshot()),
+        "r": ses.invalidate,
+        "-": lambda: ses.adjust_spp(-1), "=": lambda: ses.adjust_spp(1),
+        "[": lambda: ses.adjust_ray_depth(-1),
+        "]": lambda: ses.adjust_ray_depth(1),
+        "f": lambda: ses.adjust_focal(-0.1),
+        "g": lambda: ses.adjust_focal(0.1),
+        "v": lambda: ses.adjust_aperture(-0.002),
+        "b": lambda: ses.adjust_aperture(0.002),
+        "e": ses.toggle_environment,
+        "t": lambda: ses.adjust_time(-0.02), "y": lambda: ses.adjust_time(0.02),
+        "m": ses.randomize_picked_material,
+        "M": ses.randomize_grid_materials,
+        "left": lambda: ses.move_picked((-0.5, 0, 0)),
+        "right": lambda: ses.move_picked((0.5, 0, 0)),
+        "up": lambda: ses.move_picked((0, 0, -0.5)),
+        "down": lambda: ses.move_picked((0, 0, 0.5)),
+        "u": lambda: ses.move_picked((0, 0.5, 0)),
+        "o": lambda: ses.move_picked((0, -0.5, 0)),
+        "<": lambda: ses.set_picked_material(
+            specular_chance=(ses._picked_obj().material.specular_chance - 0.05
+                             if ses._picked_obj() else 0)),
+        ">": lambda: ses.set_picked_material(
+            specular_chance=(ses._picked_obj().material.specular_chance + 0.05
+                             if ses._picked_obj() else 0)),
+    }
 
     def on_key(event, down):
         k = key_map.get(event.key)
         if k:
             (keys_down.add if down else keys_down.discard)(k)
-        if down and event.key == "p":
-            n = int(state["acc"].frame) * cfg.spp
-            os.makedirs("Screenshots", exist_ok=True)
-            path = os.path.join("Screenshots", f"Samples_{n}.png")
-            write_png(path, np.asarray(post_process(state["acc"].image)))
-            print(f"wrote {path}")
-        if down and event.key == "r":
-            state["acc"] = reset(state["acc"])
+        elif down and event.key in actions:
+            actions[event.key]()
 
-    def on_click(event):
-        if event.inaxes is not ax or event.xdata is None:
+    def on_press(event):
+        if event.inaxes is ax and event.xdata is not None:
+            drag["pos"] = (event.x, event.y)
+            drag["moved"] = False
+
+    def on_motion(event):
+        if drag["pos"] is None or event.x is None:
             return
-        cam_cfg = state["cam"].to_config(base_cam)
-        inv_p, inv_v, pos = camera_matrices(cam_cfg, cfg.width, cfg.height)
-        # imshow origin="lower" -> ydata is already GL bottom-up
-        obj, t1, t2 = pick_pixel(builder, inv_p, inv_v, pos,
-                                 event.xdata, cfg.height - event.ydata,
-                                 cfg.width, cfg.height)
-        if obj is None:
-            print("picked: nothing")
-        else:
-            print(f"picked: {type(obj).__name__} at {obj.position}: {obj.material}")
+        dx = event.x - drag["pos"][0]
+        dy = event.y - drag["pos"][1]
+        if dx or dy:
+            drag["moved"] = True
+            # GL window coords are y-down; matplotlib's are y-up
+            drag["delta"] = (drag["delta"][0] + dx, drag["delta"][1] - dy)
+            drag["pos"] = (event.x, event.y)
+
+    def on_release(event):
+        if drag["pos"] is not None and not drag["moved"] \
+                and event.inaxes is ax and event.xdata is not None:
+            obj = ses.pick(event.xdata, ses.cfg.height - event.ydata)
+            if obj is None:
+                print("picked: nothing")
+            else:
+                print(f"picked: {type(obj).__name__} at {obj.position}: "
+                      f"{obj.material}")
+        drag["pos"] = None
 
     fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
     fig.canvas.mpl_connect("key_release_event", lambda e: on_key(e, False))
-    fig.canvas.mpl_connect("button_press_event", on_click)
+    fig.canvas.mpl_connect("button_press_event", on_press)
+    fig.canvas.mpl_connect("motion_notify_event", on_motion)
+    fig.canvas.mpl_connect("button_release_event", on_release)
 
     last = time.time()
     while plt.fignum_exists(fig.number):
         now = time.time()
         dt = min(now - last, 0.1)
         last = now
-        new_cam, changed = process_inputs(state["cam"], dt, keys_down)
-        state["cam"] = new_cam
-        if changed:
-            state["acc"] = reset(state["acc"])
-
-        cam_cfg = state["cam"].to_config(base_cam)
+        delta = drag["delta"]
+        drag["delta"] = (0.0, 0.0)
+        ses.tick(dt, keys_down, delta)
         for _ in range(frames_per_draw):
-            image, _rays = render_frame(scene, env_faces, cam_cfg, cfg,
-                                        int(state["acc"].frame))
-            state["acc"] = accumulate(state["acc"], image)
-
-        im.set_data(np.asarray(post_process(state["acc"].image)))
-        spp = int(state["acc"].frame) * cfg.spp
-        status.set_text(f"samples/px: {spp}   pos: {np.round(new_cam.position, 2)}")
+            disp = ses.render_one()
+        im.set_data(disp)
+        status.set_text(f"samples/px: {ses.samples_per_pixel}   "
+                        f"pos: {np.round(ses.cam.position, 2)}")
         fig.canvas.draw_idle()
         plt.pause(0.001)
     return 0

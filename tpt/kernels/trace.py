@@ -47,6 +47,62 @@ DEFAULT_TILE_ROWS = 16
 DEFAULT_UNROLL = 1
 
 
+def make_smem_scan_fold(sphere_geom_ref, cuboid_geom_ref,
+                        num_spheres, num_cuboids, loop):
+    """Closest-hit scan fold over SMEM scene tables in the shader's order
+    (compute.glsl:226-258), shared by the forward and backward kernels.
+
+    Returns scan(origin, direction) -> (found bool, idx i32, t f32,
+    inside bool) — the tpt.integrator.ScanFn contract.  The found-check is
+    T != FLOAT_MAX, the shader's own convention (compute.glsl:257)."""
+
+    def scan(origin, direction):
+        batch = origin.shape[1:]
+        zero_lane = origin[0] * 0.0
+
+        def splat(c):
+            return jnp.broadcast_to(c, batch)
+
+        best_t = zero_lane + FLOAT_MAX
+        best_idx = jnp.zeros_like(zero_lane, jnp.int32) - 1
+        # loop-carried flags are i32: Mosaic has no i1-vector loop carries
+        inside = jnp.zeros_like(zero_lane, jnp.int32)
+
+        def consider(carry, t1, t2, ok, idx):
+            b_t, b_idx, b_in = carry
+            cond = ok & (t2 > 0.0) & (t1 < b_t)
+            t = smallest_positive(t1, t2)
+            return (jnp.where(cond, t, b_t),
+                    jnp.where(cond, idx, b_idx),
+                    jnp.where(cond, (t == t2).astype(jnp.int32), b_in))
+
+        def sphere_scan(i, carry):
+            center = jnp.stack([splat(sphere_geom_ref[i, 0]),
+                                splat(sphere_geom_ref[i, 1]),
+                                splat(sphere_geom_ref[i, 2])])
+            t1, t2, ok = ray_sphere(origin, direction, center,
+                                    sphere_geom_ref[i, 3])
+            return consider(carry, t1, t2, ok, i)
+
+        def cuboid_scan(i, carry):
+            mn = jnp.stack([splat(cuboid_geom_ref[i, 0]),
+                            splat(cuboid_geom_ref[i, 1]),
+                            splat(cuboid_geom_ref[i, 2])])
+            mx = jnp.stack([splat(cuboid_geom_ref[i, 4]),
+                            splat(cuboid_geom_ref[i, 5]),
+                            splat(cuboid_geom_ref[i, 6])])
+            t1, t2, ok = ray_cuboid(origin, direction, mn, mx)
+            return consider(carry, t1, t2, ok, MAX_SPHERES + i)
+
+        carry = (best_t, best_idx, inside)
+        carry = loop(num_spheres, sphere_scan, carry)
+        carry = loop(num_cuboids, cuboid_scan, carry)
+        best_t, best_idx, inside = carry
+        return best_t != FLOAT_MAX, best_idx, best_t, inside != 0
+
+    return scan
+
+
 def _kernel(counts_ref, frame_ref, cam_ref,
             sphere_geom_ref, sphere_mat_ref, cuboid_geom_ref, cuboid_mat_ref,
             px_ref, py_ref,
@@ -91,6 +147,9 @@ def _kernel(counts_ref, frame_ref, cam_ref,
     # seconds and runs at the same speed.)
     MAT_LANES = 14  # material lanes 0..13 (14,15 are std140 padding)
 
+    fold = make_smem_scan_fold(sphere_geom_ref, cuboid_geom_ref,
+                               num_spheres, num_cuboids, loop)
+
     def kernel_trace(origin, direction):
         batch = origin.shape[1:]
         zero_lane = origin[0] * 0.0
@@ -103,40 +162,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             return jnp.where(cond[None], vec, carried)
 
         # ---- pass 1: scan fold ----
-        best_t = zero_lane + FLOAT_MAX
-        best_idx = jnp.zeros_like(zero_lane, jnp.int32) - 1
-        inside = jnp.zeros_like(zero_lane, jnp.int32)
-
-        def consider(carry, t1, t2, ok, idx):
-            b_t, b_idx, b_in = carry
-            cond = ok & (t2 > 0.0) & (t1 < b_t)
-            t = smallest_positive(t1, t2)
-            return (jnp.where(cond, t, b_t),
-                    jnp.where(cond, idx, b_idx),
-                    jnp.where(cond, (t == t2).astype(jnp.int32), b_in))
-
-        def sphere_scan(i, carry):
-            center = jnp.stack([splat(sphere_geom_ref[i, 0]),
-                                splat(sphere_geom_ref[i, 1]),
-                                splat(sphere_geom_ref[i, 2])])
-            t1, t2, ok = ray_sphere(origin, direction, center,
-                                    sphere_geom_ref[i, 3])
-            return consider(carry, t1, t2, ok, i)
-
-        def cuboid_scan(i, carry):
-            mn = jnp.stack([splat(cuboid_geom_ref[i, 0]),
-                            splat(cuboid_geom_ref[i, 1]),
-                            splat(cuboid_geom_ref[i, 2])])
-            mx = jnp.stack([splat(cuboid_geom_ref[i, 4]),
-                            splat(cuboid_geom_ref[i, 5]),
-                            splat(cuboid_geom_ref[i, 6])])
-            t1, t2, ok = ray_cuboid(origin, direction, mn, mx)
-            return consider(carry, t1, t2, ok, MAX_SPHERES + i)
-
-        carry = (best_t, best_idx, inside)
-        carry = loop(num_spheres, sphere_scan, carry)
-        carry = loop(num_cuboids, cuboid_scan, carry)
-        best_t, best_idx, inside = carry
+        found, best_idx, best_t, inside_b = fold(origin, direction)
+        inside = inside_b.astype(jnp.int32)
 
         # ---- pass 2: winner attributes ----
         mat = jnp.zeros((MAT_LANES,) + batch, jnp.float32)
@@ -171,9 +198,7 @@ def _kernel(counts_ref, frame_ref, cam_ref,
                        sphere_radius=s_radius, cuboid_min=c_min,
                        cuboid_max=c_max,
                        is_sphere=(best_idx >= 0) & (best_idx < MAX_SPHERES))
-        # found-check via T != FLOAT_MAX, the shader's own convention
-        # (compute.glsl:257)
-        return best_t != FLOAT_MAX, best_t, inside != 0, winner
+        return found, best_t, inside != 0, winner
 
     res = trace_paths(kernel_trace, cam, px_ref[:], py_ref[:],
                       width, height, frame, ray_depth, spp)

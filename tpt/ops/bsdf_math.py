@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..vecmath import dot3
+from ..vecmath import dot3, sqrt_clamped_grad
 
 
 def fresnel_schlick(cos_theta, n1, n2):
@@ -34,8 +34,8 @@ def refract3(incident, normal, eta):
     n_dot_i = dot3(normal, incident)
     k = 1.0 - eta * eta * (1.0 - n_dot_i * n_dot_i)
     tir = k < 0.0
-    # sqrt guard is 1.0 on TIR lanes: sqrt'(0) is infinite and would turn the
-    # masked branch's zero tangent into NaN
-    sq = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(k, 0.0)))
+    # sqrt guard is 1.0 on TIR lanes; the derivative clamp additionally
+    # keeps the k -> 0+ grazing boundary finite (tpt.vecmath)
+    sq = sqrt_clamped_grad(jnp.where(tir, 1.0, jnp.maximum(k, 0.0)))
     out = eta * incident - (eta * n_dot_i + sq) * normal
     return jnp.where(tir[None], 0.0, out), tir

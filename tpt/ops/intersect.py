@@ -13,7 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import KERNEL_EPSILON
-from ..vecmath import dot3, normalize3
+from ..vecmath import dot3, normalize3, sqrt_clamped_grad
 
 FLOAT_MAX = np.float32(3.4028235e38)
 FLOAT_MIN = np.float32(-3.4028235e38)
@@ -29,7 +29,7 @@ def ray_sphere(origin, direction, center, radius):
     ok = disc >= 0.0
     # guard value 1.0 (not max(disc,0)): sqrt at exactly 0 has an infinite
     # derivative and the masked-out lanes would emit NaN *tangents*
-    sq = jnp.sqrt(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
+    sq = sqrt_clamped_grad(jnp.where(ok, jnp.maximum(disc, 0.0), 1.0))
     t1 = -b - sq
     t2 = -b + sq
     # GLSL additionally returns t1 <= t2, which holds whenever disc >= 0.

@@ -164,7 +164,8 @@ def trainable_filter_grads(grads: Scene) -> Scene:
 
 
 def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
-                    counts: Tuple[int, int] = None, param_mask=None):
+                    counts: Tuple[int, int] = None, param_mask=None,
+                    backend: str = "kernel"):
     """Inverse-rendering step: pixel-MSE against a target image, gradient
     descent on the material tables (BASELINE.json config 5).
 
@@ -174,11 +175,17 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
     ``param_mask``: optional (sphere_mask, cuboid_mask) 0/1 arrays shaped
     like the material tables; entries with mask 0 stay frozen.
 
+    ``backend``: 'kernel' = Pallas forward + Pallas backward
+    (tpt.kernels.trace_grad) per row band; 'oracle' = XLA integrator with
+    remat reverse-mode (the test reference).
+
     The renderer runs sharded exactly as make_dist_renderer; autodiff
     transposes the psum-mean into broadcast and the replicated-scene reads
     into a cross-mesh gradient psum — the all-reduce the SURVEY's
     parallelism table calls for, riding ICI.
     """
+    if backend not in ("kernel", "oracle"):
+        raise ValueError(f"unknown backend {backend!r}")
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     groups = n_sample_groups or sp
@@ -192,7 +199,7 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P("dp", None, None)),
         out_specs=P(),
     )
-    def loss_block(scene, env_faces, inv_proj, inv_view, focal, aperture,
+    def loss_block(scene, env, inv_proj, inv_view, focal, aperture,
                    frame, target_block):
         dp_idx = jax.lax.axis_index("dp")
         sp_idx = jax.lax.axis_index("sp")
@@ -203,17 +210,24 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
         px = jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 1)
 
         # static counts: reverse-mode AD cannot transpose dynamic-trip loops
-        scan = make_scene_scan_fn(scene, counts=counts or (256, 64))
-        gather = make_xla_gather_fn(scene)
-        cam = camera_params(inv_proj, inv_view, focal, aperture)
-
+        c = counts or (256, 64)
         acc = jnp.zeros((3, rows_local, width), jnp.float32)
         for g in range(groups_per_shard):
             group_id = sp_idx * groups_per_shard + g
             frame_eff = frame * groups + group_id
-            res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
-                              width, height, frame_eff, ray_depth, spp)
-            acc = acc + apply_environment(res, env_faces, spp)
+            if backend == "kernel":
+                from ..kernels.trace_grad import trace_diff
+                res = trace_diff(scene, inv_proj, inv_view, frame_eff,
+                                 focal, aperture, y0, width, height,
+                                 ray_depth, spp, c, rows_local)
+                acc = acc + apply_environment_blocked(res, env, spp)
+            else:
+                scan = make_scene_scan_fn(scene, counts=c)
+                gather = make_xla_gather_fn(scene)
+                cam = camera_params(inv_proj, inv_view, focal, aperture)
+                res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
+                                  width, height, frame_eff, ray_depth, spp)
+                acc = acc + apply_environment(res, env, spp)
         acc = jax.lax.psum(acc, "sp") / np.float32(groups)
 
         image = jnp.moveaxis(acc, 0, -1)
@@ -229,7 +243,9 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
                                     cuboid_material=cuboid_mat)
         pad = hpad - height
         target_pad = jnp.pad(target, ((0, pad), (0, 0), (0, 0)))
-        return loss_block(scene, env_faces, inv_proj, inv_view, focal,
+        env = (pack_block_table(env_faces) if backend == "kernel"
+               else env_faces)
+        return loss_block(scene, env, inv_proj, inv_view, focal,
                           aperture, frame, target_pad)
 
     @jax.jit
