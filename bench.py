@@ -26,6 +26,8 @@ import numpy as np
 def main() -> int:
     import jax
     import jax.numpy as jnp
+    from tpt.utils import enable_persistent_cache
+    enable_persistent_cache()
     from tpt import CameraConfig, demo_scene
     from tpt.camera import camera_matrices
     from tpt.config import AtmosphereConfig

@@ -36,6 +36,8 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+    from tpt.utils import enable_persistent_cache
+    enable_persistent_cache()
     from tpt import CameraConfig, demo_scene
     from tpt.camera import camera_matrices
     from tpt.env import constant_environment, pack_block_table
@@ -85,7 +87,16 @@ def main() -> int:
         sm, cm = params
         return ((sm - lr * gs * mask_s, cm - lr * gc * mask_c), loss)
 
+    import os
+    from tpt.postfx import post_process
+    from tpt.utils import write_png
+    os.makedirs("artifacts", exist_ok=True)
+
     params = (jnp.asarray(sm0), jnp.asarray(cm0))
+    write_png("artifacts/inverse_before.png",
+              np.asarray(post_process(render(*params, jnp.int32(0)))))
+    write_png("artifacts/inverse_target.png",
+              np.asarray(post_process(target_frame(jnp.int32(0)))))
     t0 = time.time()
     losses = []
     for i in range(args.steps):
@@ -112,9 +123,9 @@ def main() -> int:
         "cuboid_param_mae_before": round(cm_err0, 4),
         "cuboid_param_mae_after": round(cm_err, 4),
     }
+    write_png("artifacts/inverse_after.png",
+              np.asarray(post_process(render(*params, jnp.int32(0)))))
     print(json.dumps(result))
-    import os
-    os.makedirs("artifacts", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     return 0

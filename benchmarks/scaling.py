@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default=None,
+                    help="write the results JSON to this file as well")
     args = ap.parse_args()
 
     if args.cpu:
@@ -78,7 +80,24 @@ def main() -> int:
               flush=True)
         dp *= 2
 
-    print(json.dumps({"metric": "dp_scaling", "results": results}))
+    payload = {
+        "metric": "dp_scaling",
+        "platform": jax.default_backend(),
+        "n_devices": n_dev,
+        "virtual_cpu_mesh": bool(args.cpu),
+        "note": ("virtual CPU mesh: validates the sharded program "
+                 "(shard_map/psum correctness), NOT ICI efficiency — "
+                 "interpret-mode Pallas timing is not a hardware number"
+                 if args.cpu else
+                 "real devices: wall-clock parallel efficiency"),
+        "config": {"width": args.width, "height": args.height,
+                   "ray_depth": args.depth, "spp": 1},
+        "results": results,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
     return 0
 
 

@@ -26,6 +26,8 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+    from tpt.utils import enable_persistent_cache
+    enable_persistent_cache()
     from tpt import CameraConfig, demo_scene
     from tpt.camera import camera_matrices
     from tpt.env import constant_environment, pack_block_table
@@ -81,7 +83,7 @@ def main() -> int:
         cfg = RenderConfig(width=width, height=height, ray_depth=ray_depth,
                            spp=spp)
         mesh = make_mesh(dp=1, sp=1)
-        step = make_train_step(mesh, cfg, counts=counts)
+        step = make_train_step(mesh, cfg, counts=counts, backend="oracle")
         t0 = time.time()
         new_scene, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
                                cam.aperture_diameter, 0, target, 0.01)

@@ -43,6 +43,16 @@ def render_golden() -> np.ndarray:
     return np.asarray(img)
 
 
+def test_golden_artifact_is_tracked():
+    # the gate is worthless if each clone regenerates its own golden
+    # (.gitignore's '*.npz' once shadowed it — guard against regression)
+    import subprocess
+    out = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", GOLDEN_PATH],
+        capture_output=True, cwd=os.path.dirname(GOLDEN_PATH))
+    assert out.returncode == 0, "tests/golden/demo_512.npz is not in git"
+
+
 def test_golden_demo_512():
     want = np.load(GOLDEN_PATH)["image"].astype(np.float32)
     got = render_golden()

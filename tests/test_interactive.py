@@ -95,6 +95,40 @@ def test_randomize_grid_and_scene_rebuild(session):
     assert not np.array_equal(np.asarray(s.scene.sphere_material), mats0)
 
 
+def test_reload_scene_discards_edits(session):
+    # 'R' re-runs LoadScene and resets (src/MainWindow.cs:109-123)
+    s = session
+    s.pick(s.cfg.width / 2, s.cfg.height / 2)
+    s.randomize_grid_materials(8)
+    s.acc = type(s.acc)(image=s.acc.image, frame=s.acc.frame + 3)
+    s.reload_scene()
+    assert s.picked is None
+    assert int(s.acc.frame) == 0
+    from tpt.cli import _build_scene
+    fresh = np.asarray(_build_scene("demo").build().sphere_material)
+    np.testing.assert_array_equal(np.asarray(s.scene.sphere_material), fresh)
+
+
+def test_set_size_reallocates_and_resets(session):
+    # resize semantics (src/MainWindow.cs:270-283, PathTracer.cs:131-137)
+    s = session
+    s.acc = type(s.acc)(image=s.acc.image, frame=s.acc.frame + 3)
+    s.set_size(48, 24)
+    assert s.cfg.width == 48 and s.cfg.height == 24
+    assert s.acc.image.shape == (24, 48, 3)
+    assert int(s.acc.frame) == 0
+    disp = s.render_one()
+    assert disp.shape == (24, 48, 3)
+    s.set_size(32, 32)  # restore for other tests
+
+
+def test_f_number_stat(session):
+    # Gui.cs:67: f-number = focal / aperture
+    s = session
+    assert s.f_number == pytest.approx(
+        s.base_cam.focal_length / s.base_cam.aperture_diameter)
+
+
 def test_render_and_screenshot(session):
     s = session
     disp = s.render_one()

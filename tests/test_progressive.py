@@ -62,6 +62,47 @@ def test_accumulate_donates_input_buffer():
         assert old_image.is_deleted()
 
 
+def test_progressive_frames_n_valid_masks_tail():
+    """A partial tail chunk via n_valid must equal rendering exactly that
+    many frames — same accumulator, same frame counter, same ray count —
+    so the CLI reuses one compiled program for any --frames."""
+    from tpt import CameraConfig, cornell_scene
+    from tpt.camera import camera_matrices
+    from tpt.env import constant_environment, pack_block_table
+    from tpt.kernels.render import progressive_frames
+
+    W = H = 16
+    scene = cornell_scene().build()
+    cam = CameraConfig(position=(0.0, 0.5, 2.0), look_x=-90.0, look_y=-5.0,
+                       focal_length=8.0, aperture_diameter=0.1)
+    inv_p, inv_v, _ = camera_matrices(cam, W, H)
+    env_t = pack_block_table(constant_environment((0.4, 0.5, 0.6)))
+    kw = dict(width=W, height=H, ray_depth=3, spp=1)
+
+    a = init_accumulator(H, W)
+    a, rays_a = progressive_frames(a, scene, env_t, inv_p, inv_v,
+                                   jnp.int32(0), jnp.float32(8.0),
+                                   jnp.float32(0.1), n_frames=3, **kw)
+    b = init_accumulator(H, W)
+    b, rays_b = progressive_frames(b, scene, env_t, inv_p, inv_v,
+                                   jnp.int32(0), jnp.float32(8.0),
+                                   jnp.float32(0.1), n_frames=5,
+                                   n_valid=jnp.int32(3), **kw)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               rtol=1e-6, atol=1e-6)
+    assert int(b.frame) == int(a.frame) == 3
+    assert int(rays_b) == int(rays_a)
+
+
+def test_train_step_kernel_requires_counts():
+    from tpt.config import RenderConfig
+    from tpt.parallel import make_mesh, make_train_step
+    mesh = make_mesh(dp=1, sp=1,
+                     devices=np.asarray(jax.devices()[:1]))
+    with pytest.raises(ValueError, match="requires explicit counts"):
+        make_train_step(mesh, RenderConfig(width=16, height=8))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     acc = init_accumulator(3, 4)
     acc = accumulate(acc, jnp.arange(36, dtype=jnp.float32).reshape(3, 4, 3))

@@ -65,6 +65,10 @@ def _add_common_flags(p):
     p.add_argument("--height", type=int, default=832)
     p.add_argument("--spp", type=int, default=1, help="samples/pixel/frame (GUI range 1-10)")
     p.add_argument("--ray-depth", type=int, default=13, help="max bounces (GUI range 1-50)")
+    p.add_argument("--jitter", default="corner", choices=["corner", "center"],
+                   help="sub-pixel jitter arithmetic: compute-shader corner "
+                        "convention or the shipped fragment variant's "
+                        "centered convention (algebraically identical)")
     p.add_argument("--focal-length", type=float, default=20.0)
     p.add_argument("--aperture", type=float, default=0.14)
     p.add_argument("--fov", type=float, default=103.0)
@@ -90,6 +94,8 @@ def _maybe_force_platform(args):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from .utils import enable_persistent_cache
+    enable_persistent_cache()
 
 
 def cmd_render(args) -> int:
@@ -102,7 +108,8 @@ def cmd_render(args) -> int:
     from .utils import write_png
 
     cfg = RenderConfig(width=args.width, height=args.height,
-                       ray_depth=args.ray_depth, spp=args.spp)
+                       ray_depth=args.ray_depth, spp=args.spp,
+                       jitter=args.jitter)
     builder = _build_scene(args.scene)
     scene = builder.build()
     env_faces = _build_env(args)
@@ -135,17 +142,24 @@ def cmd_render(args) -> int:
         focal = jnp.float32(camera.focal_length)
         aperture = jnp.float32(camera.aperture_diameter)
 
+        chunk = min(args.chunk, args.frames)
+
         def run_chunk(state, n):
+            # always launch the same n_frames=chunk program; a partial tail
+            # masks the extra steps via n_valid instead of paying a second
+            # Mosaic compile for the remainder size
             state, rays = progressive_frames(
                 state, scene, env_table, inv_p, inv_v,
                 jnp.int32(int(state.frame)), focal, aperture,
                 width=cfg.width, height=cfg.height, ray_depth=cfg.ray_depth,
-                spp=cfg.spp, counts=counts, n_frames=n)
+                spp=cfg.spp, counts=counts, n_frames=chunk,
+                n_valid=jnp.int32(n), jitter=cfg.jitter)
             return state, int(rays)
 
         done = 0
+        last_ckpt = 0
         while done < args.frames:
-            n = min(args.chunk, args.frames - done)
+            n = min(chunk, args.frames - done)
             state, rays = run_chunk(state, n)
             done += n
             total_rays += rays
@@ -154,9 +168,13 @@ def cmd_render(args) -> int:
             print(f"frame {int(state.frame)}/{args.frames}  "
                   f"samples/px {int(samples_per_pixel(state, cfg.spp))}  "
                   f"{mrays:.1f} Mrays/s", flush=True)
-            if args.checkpoint and (done % args.checkpoint_every == 0
+            # checkpoint whenever the quotient advances (chunked progress
+            # rarely lands exactly on a multiple of --checkpoint-every)
+            if args.checkpoint and (done // args.checkpoint_every
+                                    > last_ckpt // args.checkpoint_every
                                     or done == args.frames):
                 save_checkpoint(args.checkpoint, state)
+                last_ckpt = done
     else:
         from .progressive import accumulate
         from .reference import render_frame as frame_fn

@@ -53,8 +53,16 @@ class RenderConfig:
     # (~1.5x throughput).  None keeps the counts dynamic (one compilation for
     # any scene; needed when objects are added/removed without recompiling).
     static_counts: Tuple[int, int] | None = None
+    # Sub-pixel jitter arithmetic: "corner" = the reference's compute-shader
+    # convention, "center" = its fragment-shader convention — the shipped
+    # app's active default (PathTracer.cs:1 defines _USE_COMPUTE with an
+    # underscore, so fragCompute.glsl runs).  Algebraically identical;
+    # differs only in float rounding order (tpt.integrator.trace_paths docs).
+    jitter: str = "corner"
 
     def __post_init__(self):
+        if self.jitter not in ("corner", "center"):
+            raise ValueError(f"jitter must be 'corner' or 'center', got {self.jitter!r}")
         if not (1 <= self.ray_depth <= 50):
             raise ValueError(f"ray_depth must be in [1, 50], got {self.ray_depth}")
         if not (1 <= self.spp):

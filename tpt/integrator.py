@@ -249,10 +249,15 @@ def _onehot_rows(table, oh):
 
     The autodiff transpose of this dot_general is not Mosaic-lowerable, so
     the backward is hand-phrased as per-sublane [L, R] x [L, K] contractions
-    over the leading batch dim (benchmarks/exp_bwd_probes.py p8)."""
+    over the leading batch dim (benchmarks/exp_bwd_probes.py p8).
+
+    Precision HIGHEST: the default f32 matmul truncates operands to bf16 on
+    the MXU; one-hot operands would round the gathered winner attributes and
+    break the bit-identical-primal invariant of make_onehot_trace_fn."""
     nb = oh.ndim - 1
     return jax.lax.dot_general(oh, table, (((nb,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _onehot_rows_fwd(table, oh):
@@ -265,7 +270,8 @@ def _onehot_rows_bwd(oh, g):
     d = jnp.zeros((oh.shape[-1], g.shape[-1]), jnp.float32)
     for i in range(oh2.shape[0]):
         d = d + jax.lax.dot_general(oh2[i], g2[i], (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
     return d, jnp.zeros_like(oh)
 
 
@@ -457,6 +463,57 @@ def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
     )
 
 
+def sample_draws(seed):
+    """The four per-sample RNG draws preceding the bounce loop, in shader
+    order (compute.glsl:113-119): sub-pixel jitter x/y, lens angle, lens
+    radius.  Returns ((jx, jy, r_angle, r_radius), seed_after)."""
+    jx, seed = rng.random_float01(seed)
+    jy, seed = rng.random_float01(seed)
+    r_angle, seed = rng.random_float01(seed)
+    r_radius, seed = rng.random_float01(seed)
+    return (jx, jy, r_angle, r_radius), seed
+
+
+def primary_ray(cam: CameraParams, fpx, fpy, width: int, height: int,
+                draws, jitter: str = "corner"):
+    """Jittered thin-lens eye ray (compute.glsl:113-121,352-357).
+
+    ``draws``: sample_draws floats.  Differentiable w.r.t. every CameraParams
+    entry — the backward kernel vjp's this to recover camera/lens cotangents.
+    Float operation order is exactly trace_paths's, so both linearize at the
+    same primal."""
+    jx, jy, r_angle, r_radius = draws
+    batch = fpx.shape
+    right = _splat(cam.right, batch)
+    up = _splat(cam.up, batch)
+    backward = _splat(cam.backward, batch)
+    eye = _splat(cam.eye, batch)
+
+    if jitter == "corner":
+        u = (fpx + jx) / width * 2.0 - 1.0
+        v = (fpy + jy) / height * 2.0 - 1.0
+    else:
+        u = ((fpx + 0.5) / width + (jx - 0.5) / width) * 2.0 - 1.0
+        v = ((fpy + 0.5) / height + (jy - 0.5) / height) * 2.0 - 1.0
+
+    # eye ray (compute.glsl:352-357): invP @ (u, v, -1, 0), zw := (-1, 0)
+    ex = cam.ip00 * u + cam.ip01 * v - cam.ip02
+    ey = cam.ip10 * u + cam.ip11 * v - cam.ip12
+    d = normalize3(right * bcast3(ex) + up * bcast3(ey) - backward)
+    o = eye  # ViewPos == inv_view translation (src/MainWindow.cs:132)
+
+    # thin-lens DoF (compute.glsl:117-121)
+    focal_point = o + d * bcast3(jnp.broadcast_to(
+        jnp.asarray(cam.focal_length, jnp.float32), batch))
+    cx, cy = uniform_sample_unit_circle(r_angle, r_radius)
+    ap = jnp.asarray(cam.aperture_diameter, jnp.float32)
+    off_x = ap * 0.5 * cx
+    off_y = ap * 0.5 * cy
+    o = eye + right * bcast3(off_x) + up * bcast3(off_y)
+    d = normalize3(focal_point - o)
+    return o, d
+
+
 class TraceResult(NamedTuple):
     radiance: jax.Array    # f32[3, B]        emission-path radiance, summed over spp
     miss_dir: jax.Array    # f32[spp, 3, B]   escape directions (0 where none)
@@ -468,28 +525,34 @@ class TraceResult(NamedTuple):
 def trace_paths(trace_fn: TraceFn, cam: CameraParams,
                 px, py, width: int, height: int, frame,
                 ray_depth: int, spp: int, remat: bool = False,
-                step_fn=None) -> TraceResult:
+                jitter: str = "corner") -> TraceResult:
     """Full per-pixel sampling loop (compute.glsl:101-130), environment
     fetch deferred.  ``px``/``py`` are integer pixel coords (GL convention:
     y bottom-up) of any batch shape.
 
-    ``step_fn``: optional PathState -> PathState override for one bounce.
-    The Pallas backward kernel injects a custom-vjp remat bounce here
-    (jax.checkpoint lowers to closed_call, which Mosaic rejects); when set,
-    the all-dead tile skip is disabled (lax.cond under vjp complicates the
-    transpose for no benefit in a gradient pass)."""
+    ``jitter`` selects the reference's sub-pixel jitter arithmetic:
+      * ``"corner"`` — the compute variant: ndc = (p + rand01)/size*2-1
+        (compute.glsl:113-114);
+      * ``"center"`` — the fragment variant, the reference app's ACTIVE
+        default (PathTracer.cs:1 defines _USE_COMPUTE, underscore, so the
+        fragment path ships): ndc = (texcoord + (rand01-0.5)/size)*2-1 with
+        texcoord = (p+0.5)/size (fragCompute.glsl:115-116).
+    The two are ALGEBRAICALLY IDENTICAL — (p+0.5+rand-0.5) == (p+rand) —
+    both integrate uniformly over the pixel footprint with the same RNG
+    draws; they differ only in floating-point rounding order (ulp-level NDC
+    deltas, quantified by tests/test_jitter.py).  "corner" is the default
+    everywhere; "center" reproduces the shipped app's exact rounding.
+
+    The in-kernel Pallas backward (tpt.kernels.trace_grad) does NOT call
+    this function — it re-runs the same per-sample structure with its own
+    carry-storing loops, built from the shared sample_draws / primary_ray /
+    bounce_step pieces, so both paths linearize at the same primal."""
+    if jitter not in ("corner", "center"):
+        raise ValueError(f"jitter must be 'corner' or 'center', got {jitter!r}")
     batch = px.shape
     seed = rng.pixel_seed(px, py, frame)
     fpx = jnp.asarray(px, jnp.float32)
     fpy = jnp.asarray(py, jnp.float32)
-
-    # camera basis splatted over the batch
-    right = _splat(cam.right, batch)
-    up = _splat(cam.up, batch)
-    backward = _splat(cam.backward, batch)
-    eye = _splat(cam.eye, batch)
-    focal_length = jnp.asarray(cam.focal_length, jnp.float32)
-    aperture_diameter = jnp.asarray(cam.aperture_diameter, jnp.float32)
 
     # Derive loop-carry initializers from lane data rather than constant
     # splats: Mosaic cannot relayout replicated->concrete across loop carries.
@@ -501,27 +564,8 @@ def trace_paths(trace_fn: TraceFn, cam: CameraParams,
     miss_thrs = []
 
     for _ in range(spp):
-        # sub-pixel jitter on the pixel's lower-left corner (compute.glsl:113-114)
-        jx, seed = rng.random_float01(seed)
-        jy, seed = rng.random_float01(seed)
-        u = (fpx + jx) / width * 2.0 - 1.0
-        v = (fpy + jy) / height * 2.0 - 1.0
-
-        # eye ray (compute.glsl:352-357): invP @ (u, v, -1, 0), zw := (-1, 0)
-        ex = cam.ip00 * u + cam.ip01 * v - cam.ip02
-        ey = cam.ip10 * u + cam.ip11 * v - cam.ip12
-        d = normalize3(right * bcast3(ex) + up * bcast3(ey) - backward)
-        o = eye  # ViewPos == inv_view translation (src/MainWindow.cs:132)
-
-        # thin-lens DoF (compute.glsl:117-121)
-        focal_point = o + d * bcast3(jnp.broadcast_to(focal_length, batch))
-        r_angle, seed = rng.random_float01(seed)
-        r_radius, seed = rng.random_float01(seed)
-        cx, cy = uniform_sample_unit_circle(r_angle, r_radius)
-        off_x = aperture_diameter * 0.5 * cx
-        off_y = aperture_diameter * 0.5 * cy
-        o = eye + right * bcast3(off_x) + up * bcast3(off_y)
-        d = normalize3(focal_point - o)
+        draws, seed = sample_draws(seed)
+        o, d = primary_ray(cam, fpx, fpy, width, height, draws, jitter)
 
         state = PathState(
             origin=o, direction=d,
@@ -545,13 +589,7 @@ def trace_paths(trace_fn: TraceFn, cam: CameraParams,
                 lambda s: bounce_step(s, trace_fn),
                 lambda s: s, st)
 
-        if step_fn is not None:
-            # lax.scan compiles ONE bounce body (+ its custom-vjp transpose)
-            # regardless of ray_depth — the unrolled form made the backward
-            # kernel's Mosaic compile time explode
-            state, _ = jax.lax.scan(lambda s, _: (step_fn(s), None),
-                                    state, None, length=ray_depth)
-        elif remat:
+        if remat:
             # reverse-mode memory: store only the inter-bounce carry and
             # recompute each bounce's internals in the backward sweep
             step = jax.checkpoint(lambda s: bounce_step(s, trace_fn))

@@ -47,12 +47,13 @@ class ViewerSession:
 
     def __init__(self, scene_name: str = "demo", size: int = 256,
                  env_name: str = "atmosphere", atmosphere_size: int = 128,
-                 screenshot_dir: str = "Screenshots"):
+                 screenshot_dir: str = "Screenshots", cubemap_files=None):
         from . import init_accumulator
         from .camera_controller import CameraState
         from .cli import _build_scene
 
         self.cfg = RenderConfig(width=size, height=size)
+        self.scene_name = scene_name
         self.builder = _build_scene(scene_name)
         self.scene = self.builder.build()
         self.base_cam = CameraConfig()
@@ -60,7 +61,12 @@ class ViewerSession:
         self.atmo = AtmosphereConfig(size=atmosphere_size, i_steps=30,
                                      j_steps=10)
         self.env_is_atmosphere = env_name == "atmosphere"
+        # 'e' toggles atmosphere <-> skybox (Gui.cs:80-87).  The reference's
+        # skybox is a 6-PNG sRGB cubemap (src/Helper.cs:18-50); pass the
+        # face paths to get the same, else a constant-color stand-in.
+        self.cubemap_files = list(cubemap_files) if cubemap_files else None
         self._skybox = None  # lazily built constant/file skybox
+        self.atmosphere_ms = 0.0  # last precompute GPU+wall ms (Gui.cs:91)
         self.env_faces = self._make_env()
         self.acc = init_accumulator(self.cfg.height, self.cfg.width)
         self.picked = None  # (kind str, index int) into builder lists
@@ -71,10 +77,20 @@ class ViewerSession:
     def _make_env(self):
         if self.env_is_atmosphere:
             from .sky import compute_atmosphere
-            return compute_atmosphere(self.atmo)
+            t0 = time.time()
+            faces = compute_atmosphere(self.atmo)
+            faces.block_until_ready()
+            # the reference surfaces the precompute time in the GUI via a
+            # GL TimerQuery (AtmosphericScatterer.cs:104-112, Gui.cs:91)
+            self.atmosphere_ms = (time.time() - t0) * 1e3
+            return faces
         if self._skybox is None:
-            from .env import constant_environment
-            self._skybox = constant_environment((0.7, 0.8, 1.0))
+            if self.cubemap_files:
+                from .env import load_cubemap_files
+                self._skybox = load_cubemap_files(self.cubemap_files)
+            else:
+                from .env import constant_environment
+                self._skybox = constant_environment((0.7, 0.8, 1.0))
         return self._skybox
 
     def toggle_environment(self):
@@ -198,6 +214,25 @@ class ViewerSession:
         self.scene = self.builder.build()
         self.invalidate()
 
+    def reload_scene(self):
+        """'R': rebuild the scene from scratch — the reference re-runs
+        LoadScene and resets (src/MainWindow.cs:109-123).  Discards every
+        object edit and the pick."""
+        from .cli import _build_scene
+        self.builder = _build_scene(self.scene_name)
+        self.picked = None
+        self._rebuild()
+
+    def set_size(self, width: int, height: int):
+        """Window-resize semantics: reallocate the accumulator and reset
+        (PathTracer.SetSize, src/Render/PathTracer.cs:131-137); the inverse
+        projection is recomputed per frame from the new size
+        (src/MainWindow.cs:270-283)."""
+        from . import init_accumulator
+        self.cfg = dataclasses.replace(self.cfg, width=int(width),
+                                       height=int(height))
+        self.acc = init_accumulator(self.cfg.height, self.cfg.width)
+
     # ---- accumulation ----
     def invalidate(self):
         from . import reset
@@ -228,16 +263,24 @@ class ViewerSession:
     def samples_per_pixel(self) -> int:
         return int(self.acc.frame) * self.cfg.spp
 
+    @property
+    def f_number(self) -> float:
+        """Lens f-number = focal length / aperture diameter (Gui.cs:67)."""
+        ap = self.base_cam.aperture_diameter
+        return self.base_cam.focal_length / ap if ap > 0 else float("inf")
+
 
 def run_viewer(scene_name: str = "demo", size: int = 256,
-               env_name: str = "atmosphere", frames_per_draw: int = 1) -> int:
+               env_name: str = "atmosphere", frames_per_draw: int = 1,
+               cubemap_files=None) -> int:
     try:
         import matplotlib.pyplot as plt
     except ImportError:
         print("interactive viewer requires matplotlib", file=sys.stderr)
         return 1
 
-    ses = ViewerSession(scene_name, size, env_name)
+    ses = ViewerSession(scene_name, size, env_name,
+                        cubemap_files=cubemap_files)
     keys_down = set()
     fig, ax = plt.subplots(figsize=(6, 6))
     im = ax.imshow(np.zeros((ses.cfg.height, ses.cfg.width, 3)),
@@ -253,6 +296,7 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
     actions = {
         "p": lambda: print("wrote", ses.screenshot()),
         "r": ses.invalidate,
+        "R": ses.reload_scene,
         "-": lambda: ses.adjust_spp(-1), "=": lambda: ses.adjust_spp(1),
         "[": lambda: ses.adjust_ray_depth(-1),
         "]": lambda: ses.adjust_ray_depth(1),
@@ -330,7 +374,9 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
             disp = ses.render_one()
         im.set_data(disp)
         status.set_text(f"samples/px: {ses.samples_per_pixel}   "
-                        f"pos: {np.round(ses.cam.position, 2)}")
+                        f"pos: {np.round(ses.cam.position, 2)}   "
+                        f"f/{ses.f_number:.1f}   "
+                        f"atmo {ses.atmosphere_ms:.0f} ms")
         fig.canvas.draw_idle()
         plt.pause(0.001)
     return 0
@@ -341,8 +387,12 @@ def main(argv=None) -> int:
     p.add_argument("--scene", default="demo")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--env", default="atmosphere")
+    p.add_argument("--cubemap-files", default="",
+                   help="6 comma-separated face images (+X,-X,+Y,-Y,+Z,-Z) "
+                        "for the 'e' skybox toggle")
     args = p.parse_args(argv)
-    return run_viewer(args.scene, args.size, args.env)
+    files = args.cubemap_files.split(",") if args.cubemap_files else None
+    return run_viewer(args.scene, args.size, args.env, cubemap_files=files)
 
 
 if __name__ == "__main__":

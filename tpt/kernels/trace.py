@@ -108,7 +108,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             px_ref, py_ref,
             rad_ref, missd_ref, misst_ref, rays_ref, seed_ref,
             *, width: int, height: int, ray_depth: int, spp: int,
-            counts: Tuple[int, int] | None, unroll: int):
+            counts: Tuple[int, int] | None, unroll: int,
+            jitter: str = "corner"):
     # Static counts (the fast path) bake the primitive-loop trip counts into
     # the program so Mosaic can unroll them, hoisting the per-iteration SMEM
     # scalar reads and loop control off the critical path.  Dynamic counts
@@ -201,7 +202,7 @@ def _kernel(counts_ref, frame_ref, cam_ref,
         return found, best_t, inside != 0, winner
 
     res = trace_paths(kernel_trace, cam, px_ref[:], py_ref[:],
-                      width, height, frame, ray_depth, spp)
+                      width, height, frame, ray_depth, spp, jitter=jitter)
 
     rad_ref[:] = res.radiance
     missd_ref[:] = res.miss_dir
@@ -225,7 +226,8 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
-                                             "counts", "unroll", "n_rows"))
+                                             "counts", "unroll", "n_rows",
+                                             "jitter"))
 def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diameter,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  tile_rows: int = DEFAULT_TILE_ROWS,
@@ -233,7 +235,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
                  counts: Tuple[int, int] | None = None,
                  unroll: int = DEFAULT_UNROLL,
                  n_rows: int | None = None,
-                 row0=0) -> TraceResult:
+                 row0=0, jitter: str = "corner") -> TraceResult:
     """Trace every pixel of a width x height frame on TPU.
 
     Returns a TraceResult with batch shape (height, width) — same contract as
@@ -281,7 +283,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
 
     kernel = functools.partial(_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp,
-                               counts=counts, unroll=unroll)
+                               counts=counts, unroll=unroll, jitter=jitter)
     rad, missd, misst, rays, seed = pl.pallas_call(
         kernel,
         grid=grid,

@@ -2,26 +2,44 @@
 
 ``trace_diff`` is the differentiable production trace: the forward is the
 Pallas trace kernel (tpt.kernels.trace), the backward is a second Pallas
-kernel (``pallas_trace_grad``) that re-runs the tile's transport with the
-*one-hot differentiable formulation* (tpt.integrator.make_onehot_trace_fn)
-under jax.vjp — traced inside the kernel, so Mosaic compiles the transpose
-like any other op stream:
+kernel (``pallas_trace_grad``) that re-runs the tile's transport and
+transposes it with a HAND-WRITTEN reverse sweep:
 
-  * the closest-hit fold is recomputed detached (discrete winner choice —
-    the standard detached-decision estimator of differentiable path
-    tracing; SURVEY.md §7.5);
+  * forward sweep: a rolled ``fori_loop`` re-runs the bounce chain with the
+    one-hot differentiable formulation (tpt.integrator.make_onehot_trace_fn)
+    and stores each bounce's INPUT carry (origin/direction/throughput/
+    miss fields/seed/alive) into VMEM scratch — ~90 KB per bounce per
+    (8, 128) tile, ~1.2 MB at depth 13;
+  * reverse sweep: a second rolled ``fori_loop`` walks the bounces
+    backwards; each step re-traces ONE bounce from its stored carry under
+    ``jax.vjp`` and transposes it, accumulating the attr-table cotangent
+    and carrying the state cotangent — per-bounce rematerialization with
+    none of jax's remat machinery (``jax.checkpoint`` lowers to
+    closed_call, and reverse-mode over ``lax.scan`` emits residual-stacking
+    scans — Mosaic can lower neither; both failure modes are why this sweep
+    is hand-written);
+  * camera/lens cotangents: the primary-ray generation
+    (tpt.integrator.primary_ray — shared with trace_paths, so both paths
+    linearize at the same primal) is vjp'd separately per sample, fed by
+    the reverse sweep's origin/direction cotangents at bounce 0;
   * winner attributes flow through an MXU one-hot matmul whose hand-phrased
     transpose is also an MXU contraction (tpt.integrator._onehot_rows), so
     parameter cotangents accumulate at matmul speed instead of per-primitive
     masked lane reductions;
-  * per-bounce rematerialization (jax.checkpoint in trace_paths) bounds
-    VMEM: only inter-bounce carries live across the reverse sweep;
   * parameter cotangents accumulate across grid steps into a
     constant-index output block (d_table f32[128, 24]) and SMEM scalars
     (d_cam, 20 camera/lens entries); the Pallas TPU grid is sequential, so
     read-modify-write accumulation is race-free;
   * RNG is recomputed bit-identically from (px, py, frame) — no stored
-    randomness.
+    randomness;
+  * scene geometry scalars are read from SMEM ONCE at kernel entry into
+    values (make_value_scan_fold): refs read inside transposed loops
+    miscount JaxprInputEffects at partial-eval time.
+
+Compile time is bounded: the program contains ~4 bounce bodies total (one
+forward, one recomputed + its transpose in reverse, camera vjp) regardless
+of ray_depth — the depth-unrolled alternative exploded Mosaic compile time
+superlinearly.
 
 The environment term stays OUTSIDE: callers differentiate through
 apply_environment_blocked in XLA (gather transpose = scatter-add), which
@@ -45,10 +63,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..integrator import (ATTR_COLS, ATTR_ROWS, CameraParams, TraceResult,
-                          build_attr_table, make_onehot_trace_fn, trace_paths)
-from .trace import (DEFAULT_UNROLL, LANES, _scene_smem_arrays, _use_interpret,
-                    make_smem_scan_fold)
+from .. import rng
+from ..config import MAX_SPHERES
+from ..integrator import (ATTR_COLS, ATTR_ROWS, CameraParams, PathState,
+                          TraceResult, bounce_step, build_attr_table,
+                          make_onehot_trace_fn, primary_ray, sample_draws)
+from ..ops.intersect import FLOAT_MAX, ray_cuboid, ray_sphere, smallest_positive
+from .trace import DEFAULT_UNROLL, LANES, _scene_smem_arrays, _use_interpret
 
 # Backward tiles default to 8 rows (vs 16 forward): the per-bounce
 # linearization roughly doubles live VMEM.
@@ -57,68 +78,180 @@ DEFAULT_GRAD_TILE_ROWS = 8
 N_CAM = 20  # ip00,ip01,ip02,ip10,ip11,ip12, right, up, backward, eye, focal, aperture
 
 
+def make_value_scan_fold(sphere_vals, cuboid_vals):
+    """Closest-hit fold over *pre-read* per-primitive scalar values, in the
+    shader's scan order (compute.glsl:226-258) — the tpt.integrator.ScanFn
+    contract, same semantics as trace.make_smem_scan_fold.
+
+    The backward kernel cannot use the SMEM-ref fold: the fold runs inside
+    transposed loops, and a ref read crossing a vjp boundary miscounts
+    JaxprInputEffects at partial-eval time ("JaxprInputEffect Read<-2> does
+    not have corresponding jaxpr input").  Reading the scene scalars ONCE at
+    kernel entry and folding over the resulting values keeps the
+    differentiated region effect-free.  Counts are static here (the
+    backward requires them), so the fold is a Python unroll."""
+
+    def scan(origin, direction):
+        batch = origin.shape[1:]
+        zero_lane = origin[0] * 0.0
+
+        def splat(c):
+            return jnp.broadcast_to(c, batch)
+
+        best_t = zero_lane + FLOAT_MAX
+        best_idx = jnp.zeros_like(zero_lane, jnp.int32) - 1
+        inside = jnp.zeros_like(zero_lane, jnp.int32)
+
+        def consider(carry, t1, t2, ok, idx):
+            b_t, b_idx, b_in = carry
+            cond = ok & (t2 > 0.0) & (t1 < b_t)
+            t = smallest_positive(t1, t2)
+            return (jnp.where(cond, t, b_t),
+                    jnp.where(cond, idx, b_idx),
+                    jnp.where(cond, (t == t2).astype(jnp.int32), b_in))
+
+        carry = (best_t, best_idx, inside)
+        for i, (cx, cy, cz, r) in enumerate(sphere_vals):
+            center = jnp.stack([splat(cx), splat(cy), splat(cz)])
+            t1, t2, ok = ray_sphere(origin, direction, center, r)
+            carry = consider(carry, t1, t2, ok, i)
+        for j, (mnx, mny, mnz, mxx, mxy, mxz) in enumerate(cuboid_vals):
+            mn = jnp.stack([splat(mnx), splat(mny), splat(mnz)])
+            mx = jnp.stack([splat(mxx), splat(mxy), splat(mxz)])
+            t1, t2, ok = ray_cuboid(origin, direction, mn, mx)
+            carry = consider(carry, t1, t2, ok, MAX_SPHERES + j)
+        best_t, best_idx, inside = carry
+        return best_t != FLOAT_MAX, best_idx, best_t, inside != 0
+
+    return scan
+
+
 def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                  table_ref, px_ref, py_ref, grad_ref, gmissd_ref, gmisst_ref,
                  dtable_ref, dcam_ref,
+                 s_orig, s_dir, s_thr, s_md, s_mt, s_seed, s_alive, s_dtbl,
                  *, width: int, height: int, ray_depth: int, spp: int,
-                 counts: Tuple[int, int], unroll: int):
+                 counts: Tuple[int, int], unroll: int, jitter: str):
     num_spheres, num_cuboids = counts
     frame = frame_ref[0]
+    del unroll  # the value fold is a static Python unroll
 
-    # The fold is detached (forward-only) in the gradient formulation, so a
-    # rolled loop costs little runtime and keeps the already-large backward
-    # graph's Mosaic compile time in check.
-    del unroll
+    # Hoist every SMEM scene read to kernel entry (see make_value_scan_fold).
+    # These are ns*4 + nc*6 scalar loads per grid step — noise next to the
+    # transport math.
+    sphere_vals = tuple(tuple(sphere_geom_ref[i, k] for k in range(4))
+                        for i in range(num_spheres))
+    cuboid_vals = tuple(tuple(cuboid_geom_ref[j, k] for k in (0, 1, 2, 4, 5, 6))
+                        for j in range(num_cuboids))
 
-    def loop(n, body, init):
-        return jax.lax.fori_loop(0, n, body, init)
+    def bounce_fn(tbl, st):
+        fold = make_value_scan_fold(sphere_vals, cuboid_vals)
+        return bounce_step(st, make_onehot_trace_fn(fold, tbl, num_spheres))
 
-    fold = make_smem_scan_fold(sphere_geom_ref, cuboid_geom_ref,
-                               num_spheres, num_cuboids, loop)
     px = px_ref[:]
     py = py_ref[:]
-
     cam_vals = tuple(cam_ref[k] for k in range(N_CAM))
+    table = table_ref[:]
+    g_rad = grad_ref[:]
 
-    # Hand-rolled per-bounce rematerialization: jax.checkpoint lowers to
-    # closed_call, which Mosaic cannot compile, so the same semantics are
-    # expressed as a custom_vjp whose residuals are ONLY the bounce inputs
-    # (inter-bounce carry + parameter table); the backward re-traces the
-    # bounce inline and transposes it.
-    def bounce_on(table, state):
-        from ..integrator import bounce_step
-        return bounce_step(state, make_onehot_trace_fn(fold, table,
-                                                       num_spheres))
+    fpx = jnp.asarray(px, jnp.float32)
+    fpy = jnp.asarray(py, jnp.float32)
+    seed = rng.pixel_seed(px, py, frame)
+    zero_lane = fpx * 0.0
+    zero_v3 = jnp.stack([zero_lane, zero_lane, zero_lane])
+    ray_count = jnp.asarray(px, jnp.int32) * 0
 
-    bounce_remat = jax.custom_vjp(bounce_on)
-
-    def _bounce_fwd(table, state):
-        return bounce_on(table, state), (table, state)
-
-    def _bounce_bwd(res, ct):
-        table, state = res
-        _, vjp = jax.vjp(bounce_on, table, state)
-        return vjp(ct)
-
-    bounce_remat.defvjp(_bounce_fwd, _bounce_bwd)
-
-    def tile_forward(table, cam_vals):
+    def cam_params(cv):
         (ip00, ip01, ip02, ip10, ip11, ip12,
          rx, ry, rz, ux, uy, uz, bx, by, bz, ex, ey, ez,
-         focal, aperture) = cam_vals
-        cam = CameraParams(ip00=ip00, ip01=ip01, ip02=ip02,
-                           ip10=ip10, ip11=ip11, ip12=ip12,
-                           right=(rx, ry, rz), up=(ux, uy, uz),
-                           backward=(bx, by, bz), eye=(ex, ey, ez),
-                           focal_length=focal, aperture_diameter=aperture)
-        trace_fn = make_onehot_trace_fn(fold, table, num_spheres)
-        res = trace_paths(trace_fn, cam, px, py, width, height, frame,
-                          ray_depth, spp,
-                          step_fn=lambda s: bounce_remat(table, s))
-        return res.radiance, res.miss_dir, res.miss_thr
+         focal, aperture) = cv
+        return CameraParams(ip00=ip00, ip01=ip01, ip02=ip02,
+                            ip10=ip10, ip11=ip11, ip12=ip12,
+                            right=(rx, ry, rz), up=(ux, uy, uz),
+                            backward=(bx, by, bz), eye=(ex, ey, ez),
+                            focal_length=focal, aperture_diameter=aperture)
 
-    _, vjp = jax.vjp(tile_forward, table_ref[:], cam_vals)
-    d_table, d_cam = vjp((grad_ref[:], gmissd_ref[:], gmisst_ref[:]))
+    d_table_total = table * 0.0
+    d_cam_total = tuple(cam_vals[k] * 0.0 for k in range(N_CAM))
+
+    for s in range(spp):
+        draws, seed = sample_draws(seed)
+
+        def ray_fn(cv, draws=draws):
+            return primary_ray(cam_params(cv), fpx, fpy, width, height,
+                               draws, jitter)
+
+        (o0, d0), ray_vjp = jax.vjp(ray_fn, cam_vals)
+
+        state = PathState(
+            origin=o0, direction=d0,
+            throughput=zero_v3 + 1.0,
+            radiance=zero_v3,
+            seed=seed,
+            alive=ray_count * 0 + 1,
+            miss_dir=zero_v3,
+            miss_thr=zero_v3,
+            ray_count=ray_count,
+        )
+
+        # ---- forward sweep: run + store each bounce's input carry ----
+        # Python-unrolled, NOT fori: Mosaic's layout unification rejects the
+        # mixed-dtype PathState carry (concrete->replicated i32 relayout);
+        # the production forward kernel unrolls its bounce loop for the same
+        # reason, and compiles at depth 13 in tens of seconds.  The stores
+        # are static-index scratch writes.
+        for k in range(ray_depth):
+            s_orig[k] = state.origin
+            s_dir[k] = state.direction
+            s_thr[k] = state.throughput
+            s_md[k] = state.miss_dir
+            s_mt[k] = state.miss_thr
+            s_seed[k] = state.seed
+            s_alive[k] = state.alive
+            state = bounce_fn(table, state)
+        seed = state.seed
+        ray_count = state.ray_count
+
+        # ---- reverse sweep: transpose one bounce per step ----
+        # Rolled fori with an all-f32, uniform-shape carry (the five state
+        # cotangents); the attr-table cotangent accumulates in VMEM scratch
+        # so the carry stays layout-uniform.  One bounce + its transpose is
+        # the whole loop body — compile time is depth-independent.
+        g_md = gmissd_ref[s]
+        g_mt = gmisst_ref[s]
+        s_dtbl[:] = table * 0.0
+
+        def rev_body(k, carry):
+            d_o, d_d, d_th, d_md, d_mt = carry
+            j = ray_depth - 1 - k
+            o_j, dir_j, th_j = s_orig[j], s_dir[j], s_thr[j]
+            md_j, mt_j = s_md[j], s_mt[j]
+            seed_j, alive_j = s_seed[j], s_alive[j]
+
+            def b(tbl, o, dr, th, md, mt):
+                st = PathState(origin=o, direction=dr, throughput=th,
+                               radiance=o * 0.0, seed=seed_j, alive=alive_j,
+                               miss_dir=md, miss_thr=mt,
+                               ray_count=alive_j * 0)
+                out = bounce_fn(tbl, st)
+                return (out.origin, out.direction, out.throughput,
+                        out.radiance, out.miss_dir, out.miss_thr)
+
+            _, vjp = jax.vjp(b, table, o_j, dir_j, th_j, md_j, mt_j)
+            # radiance accumulates additively across bounces, so its
+            # cotangent is the constant g_rad at every bounce
+            dt, do, dd, dth, dmd, dmt = vjp((d_o, d_d, d_th, g_rad,
+                                             d_md, d_mt))
+            s_dtbl[:] += dt
+            return (do, dd, dth, dmd, dmt)
+
+        init = (zero_v3, zero_v3, zero_v3, g_md, g_mt)
+        d_o0, d_d0, _d_th, _d_md, _d_mt = jax.lax.fori_loop(
+            0, ray_depth, rev_body, init)
+
+        (d_cam_s,) = ray_vjp((d_o0, d_d0))
+        d_table_total = d_table_total + s_dtbl[:]
+        d_cam_total = tuple(a + b for a, b in zip(d_cam_total, d_cam_s))
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -126,14 +259,15 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         for k in range(N_CAM):
             dcam_ref[k] = jnp.float32(0.0)
 
-    dtable_ref[:] += d_table
+    dtable_ref[:] += d_table_total
     for k in range(N_CAM):
-        dcam_ref[k] += d_cam[k]
+        dcam_ref[k] += d_cam_total[k]
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
-                                             "counts", "unroll", "n_rows"))
+                                             "counts", "unroll", "n_rows",
+                                             "jitter"))
 def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       aperture_diameter, g_rad, g_missd, g_misst,
                       *, width: int, height: int, ray_depth: int, spp: int,
@@ -141,7 +275,8 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       tile_rows: int = DEFAULT_GRAD_TILE_ROWS,
                       interpret: bool | None = None,
                       unroll: int = DEFAULT_UNROLL,
-                      n_rows: int | None = None, row0=0):
+                      n_rows: int | None = None, row0=0,
+                      jitter: str = "corner"):
     """Cotangents of pallas_trace's differentiable outputs.
 
     ``g_rad``: f32[3, n_rows, width]; ``g_missd``/``g_misst``:
@@ -177,12 +312,6 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     g_missd = flatten_ct(g_missd, (spp, 3))
     g_misst = flatten_ct(g_misst, (spp, 3))
 
-    cam = jnp.concatenate([
-        jnp.asarray(inv_proj, jnp.float32).ravel(),
-        jnp.asarray(inv_view, jnp.float32).ravel(),
-        jnp.asarray(focal_length, jnp.float32).reshape(1),
-        jnp.asarray(aperture_diameter, jnp.float32).reshape(1),
-    ])
     # kernel cam layout: 6 inv-proj entries, 4 inv-view columns, focal, ap
     ip = jnp.asarray(inv_proj, jnp.float32)
     iv = jnp.asarray(inv_view, jnp.float32)
@@ -194,7 +323,6 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                        iv[0, 3], iv[1, 3], iv[2, 3],
                        jnp.asarray(focal_length, jnp.float32),
                        jnp.asarray(aperture_diameter, jnp.float32)])
-    del cam
 
     table, table_vjp = jax.vjp(
         lambda s: build_attr_table(s, counts), scene)
@@ -212,9 +340,12 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     table_spec = pl.BlockSpec((ATTR_ROWS, ATTR_COLS), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
 
+    v3_scr = pltpu.VMEM((ray_depth, 3, tile_rows, LANES), jnp.float32)
+    lane_scr = lambda dt: pltpu.VMEM((ray_depth, tile_rows, LANES), dt)
+
     kernel = functools.partial(_grad_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp, counts=counts,
-                               unroll=unroll)
+                               unroll=unroll, jitter=jitter)
     d_table, d_cam = pl.pallas_call(
         kernel,
         grid=grid,
@@ -225,6 +356,9 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
             jax.ShapeDtypeStruct((ATTR_ROWS, ATTR_COLS), jnp.float32),
             jax.ShapeDtypeStruct((N_CAM,), jnp.float32),
         ),
+        scratch_shapes=[v3_scr, v3_scr, v3_scr, v3_scr, v3_scr,
+                        lane_scr(jnp.uint32), lane_scr(jnp.int32),
+                        pltpu.VMEM((ATTR_ROWS, ATTR_COLS), jnp.float32)],
         interpret=interpret,
     )(frame_arr, cam20, sphere_geom, cuboid_geom, table, px, py,
       g_rad, g_missd, g_misst)
@@ -240,11 +374,12 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     return d_scene, d_ip, d_iv, d_cam[18], d_cam[19]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def trace_diff(scene, inv_proj, inv_view, frame, focal_length,
                aperture_diameter, row0, width: int, height: int,
                ray_depth: int, spp: int, counts: Tuple[int, int],
-               n_rows: int | None = None) -> TraceResult:
+               n_rows: int | None = None,
+               jitter: str = "corner") -> TraceResult:
     """Differentiable production trace: Pallas forward, Pallas backward.
 
     Returns pallas_trace's TraceResult; reverse-mode differentiable w.r.t.
@@ -257,27 +392,27 @@ def trace_diff(scene, inv_proj, inv_view, frame, focal_length,
     return pallas_trace(scene, inv_proj, inv_view, frame, focal_length,
                         aperture_diameter, width=width, height=height,
                         ray_depth=ray_depth, spp=spp, counts=counts,
-                        n_rows=n_rows, row0=row0)
+                        n_rows=n_rows, row0=row0, jitter=jitter)
 
 
 def _trace_diff_fwd(scene, inv_proj, inv_view, frame, focal_length,
                     aperture_diameter, row0, width, height, ray_depth, spp,
-                    counts, n_rows=None):
+                    counts, n_rows=None, jitter="corner"):
     out = trace_diff(scene, inv_proj, inv_view, frame, focal_length,
                      aperture_diameter, row0, width, height, ray_depth, spp,
-                     counts, n_rows)
+                     counts, n_rows, jitter)
     return out, (scene, inv_proj, inv_view, frame, focal_length,
                  aperture_diameter, row0)
 
 
-def _trace_diff_bwd(width, height, ray_depth, spp, counts, n_rows,
+def _trace_diff_bwd(width, height, ray_depth, spp, counts, n_rows, jitter,
                     residuals, ct):
     scene, inv_proj, inv_view, frame, focal, aperture, row0 = residuals
     d_scene, d_ip, d_iv, d_focal, d_ap = pallas_trace_grad(
         scene, inv_proj, inv_view, frame, focal, aperture,
         ct.radiance, ct.miss_dir, ct.miss_thr,
         width=width, height=height, ray_depth=ray_depth, spp=spp,
-        counts=counts, n_rows=n_rows, row0=row0)
+        counts=counts, n_rows=n_rows, row0=row0, jitter=jitter)
     d_frame = np.zeros(np.shape(frame), jax.dtypes.float0)
     d_row0 = np.zeros(np.shape(row0), jax.dtypes.float0)
     return d_scene, d_ip, d_iv, d_frame, d_focal, d_ap, d_row0

@@ -186,6 +186,12 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
     """
     if backend not in ("kernel", "oracle"):
         raise ValueError(f"unknown backend {backend!r}")
+    if backend == "kernel" and counts is None:
+        # the kernel backward requires static counts that fit the attr
+        # table; the (256, 64) oracle fallback would exceed ATTR_ROWS=128
+        # and crash at trace time with a confusing error
+        raise ValueError("backend='kernel' requires explicit counts, e.g. "
+                         "counts=(48, 7) for the demo scene")
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     groups = n_sample_groups or sp

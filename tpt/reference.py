@@ -37,11 +37,12 @@ def _pixel_grid(height: int, width: int):
     return px, py
 
 
-@partial(jax.jit, static_argnames=("width", "height", "ray_depth", "spp"))
+@partial(jax.jit, static_argnames=("width", "height", "ray_depth", "spp",
+                                   "jitter"))
 def render_fields(scene: Scene, env_faces, inv_proj, inv_view, view_pos, frame,
                   focal_length, aperture_diameter,
-                  *, width: int, height: int, ray_depth: int, spp: int
-                  ) -> Tuple[jax.Array, jax.Array]:
+                  *, width: int, height: int, ray_depth: int, spp: int,
+                  jitter: str = "corner") -> Tuple[jax.Array, jax.Array]:
     """One frame's mean radiance. Returns (image f32[H, W, 3], rays i32)."""
     del view_pos  # == inv_view translation column
     px, py = _pixel_grid(height, width)
@@ -49,7 +50,7 @@ def render_fields(scene: Scene, env_faces, inv_proj, inv_view, view_pos, frame,
     gather = make_xla_gather_fn(scene)
     cam = camera_params(inv_proj, inv_view, focal_length, aperture_diameter)
     res = trace_paths(compose_trace_fn(scan, gather), cam, px, py, width,
-                      height, frame, ray_depth, spp)
+                      height, frame, ray_depth, spp, jitter=jitter)
     mean = apply_environment(res, env_faces, spp)
     return jnp.moveaxis(mean, 0, -1), jnp.sum(res.ray_count)
 
@@ -83,7 +84,8 @@ def render_frame(scene: Scene, env_faces, camera: CameraConfig,
     return render_fields(
         scene, env_faces, inv_proj, inv_view, pos, jnp.int32(frame),
         jnp.float32(camera.focal_length), jnp.float32(camera.aperture_diameter),
-        width=cfg.width, height=cfg.height, ray_depth=cfg.ray_depth, spp=cfg.spp)
+        width=cfg.width, height=cfg.height, ray_depth=cfg.ray_depth,
+        spp=cfg.spp, jitter=cfg.jitter)
 
 
 def render_progressive(scene: Scene, env_faces, camera: CameraConfig,
