@@ -199,7 +199,10 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         # mixed-dtype PathState carry (concrete->replicated i32 relayout);
         # the production forward kernel unrolls its bounce loop for the same
         # reason, and compiles at depth 13 in tens of seconds.  The stores
-        # are static-index scratch writes.
+        # are static-index scratch writes.  Once every lane in the tile is
+        # dead, later bounces are skipped exactly like the forward kernel
+        # (a dead bounce is the identity, so the stored carries stay valid
+        # and the reverse sweep sees identity vjps for those js).
         for k in range(ray_depth):
             s_orig[k] = state.origin
             s_dir[k] = state.direction
@@ -208,7 +211,12 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
             s_mt[k] = state.miss_thr
             s_seed[k] = state.seed
             s_alive[k] = state.alive
-            state = bounce_fn(table, state)
+            if k == 0:
+                state = bounce_fn(table, state)
+            else:
+                state = jax.lax.cond(jnp.any(state.alive != 0),
+                                     lambda st: bounce_fn(table, st),
+                                     lambda st: st, state)
         seed = state.seed
         ray_count = state.ray_count
 
@@ -222,28 +230,36 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         s_dtbl[:] = table * 0.0
 
         def rev_body(k, carry):
-            d_o, d_d, d_th, d_md, d_mt = carry
             j = ray_depth - 1 - k
             o_j, dir_j, th_j = s_orig[j], s_dir[j], s_thr[j]
             md_j, mt_j = s_md[j], s_mt[j]
             seed_j, alive_j = s_seed[j], s_alive[j]
 
-            def b(tbl, o, dr, th, md, mt):
-                st = PathState(origin=o, direction=dr, throughput=th,
-                               radiance=o * 0.0, seed=seed_j, alive=alive_j,
-                               miss_dir=md, miss_thr=mt,
-                               ray_count=alive_j * 0)
-                out = bounce_fn(tbl, st)
-                return (out.origin, out.direction, out.throughput,
-                        out.radiance, out.miss_dir, out.miss_thr)
+            def transpose_bounce(carry):
+                d_o, d_d, d_th, d_md, d_mt = carry
 
-            _, vjp = jax.vjp(b, table, o_j, dir_j, th_j, md_j, mt_j)
-            # radiance accumulates additively across bounces, so its
-            # cotangent is the constant g_rad at every bounce
-            dt, do, dd, dth, dmd, dmt = vjp((d_o, d_d, d_th, g_rad,
-                                             d_md, d_mt))
-            s_dtbl[:] += dt
-            return (do, dd, dth, dmd, dmt)
+                def b(tbl, o, dr, th, md, mt):
+                    st = PathState(origin=o, direction=dr, throughput=th,
+                                   radiance=o * 0.0, seed=seed_j,
+                                   alive=alive_j, miss_dir=md, miss_thr=mt,
+                                   ray_count=alive_j * 0)
+                    out = bounce_fn(tbl, st)
+                    return (out.origin, out.direction, out.throughput,
+                            out.radiance, out.miss_dir, out.miss_thr)
+
+                _, vjp = jax.vjp(b, table, o_j, dir_j, th_j, md_j, mt_j)
+                # radiance accumulates additively across bounces, so its
+                # cotangent is the constant g_rad at every bounce
+                dt, do, dd, dth, dmd, dmt = vjp((d_o, d_d, d_th, g_rad,
+                                                 d_md, d_mt))
+                s_dtbl[:] += dt
+                return (do, dd, dth, dmd, dmt)
+
+            # a bounce whose input tile was all-dead is the identity: its
+            # transpose passes the cotangents through and adds nothing to
+            # the table — skip it, mirroring the forward kernel's skip
+            return jax.lax.cond(jnp.any(alive_j != 0),
+                                transpose_bounce, lambda c: c, carry)
 
         init = (zero_v3, zero_v3, zero_v3, g_md, g_mt)
         d_o0, d_d0, _d_th, _d_md, _d_mt = jax.lax.fori_loop(
