@@ -4,7 +4,8 @@ Times one full gradient step (forward + backward + SGD update on the
 material tables) of a pixel-MSE loss on the demo scene:
 
   kernel : Pallas forward + Pallas backward (tpt.kernels.trace_grad)
-  oracle : Pallas forward + oracle-replay backward (tpt.diff.render_diff)
+  oracle : XLA integrator forward + remat reverse-mode
+           (tpt.parallel.make_train_step backend='oracle')
 
 Usage: python benchmarks/train_bench.py [kernel|oracle] [--size WxH]
 """

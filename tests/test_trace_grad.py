@@ -70,8 +70,13 @@ def check_grads(builder, cam_cfg, counts):
         w, gg = np.asarray(w), np.asarray(gg)
         assert np.isfinite(gg).all(), name
         scale = max(np.abs(w).max(), 1e-3)
-        np.testing.assert_allclose(gg, w, rtol=3e-4, atol=3e-4 * scale,
-                                   err_msg=name)
+        # the inverse-matrix gradients are cancellation-dominated in these
+        # enclosed scenes (analytic value near zero; f32 remnants ~1e-7 per
+        # hundreds of pixel contributions), so their comparison needs an
+        # absolute floor above summation-order noise
+        atol = max(3e-4 * scale,
+                   1e-6 if name in ("inv_proj", "inv_view") else 0.0)
+        np.testing.assert_allclose(gg, w, rtol=3e-4, atol=atol, err_msg=name)
 
 
 def test_grad_kernel_matches_oracle_cornell():
@@ -86,3 +91,19 @@ def test_grad_kernel_matches_oracle_demo_subset():
     # unrolled+vjp'd interpret-mode graphs blow XLA:CPU compile time; the
     # full-scale configuration runs on TPU via benchmarks/train_bench.py
     check_grads(demo_scene(), CameraConfig(), (10, 7))
+
+
+def test_grad_kernel_matches_oracle_spp2():
+    # spp > 1 exercises the backward's cross-sample seed chain: sample 1's
+    # jitter/lens draws depend on sample 0's final bounce-loop seed, which
+    # the reverse-sweep kernel recomputes rather than stores
+    global SPP
+    old = SPP
+    try:
+        globals()["SPP"] = 2
+        cam_cfg = CameraConfig(position=(0.0, 0.5, 2.0), look_x=-90.0,
+                               look_y=-5.0, focal_length=8.0,
+                               aperture_diameter=0.1)
+        check_grads(cornell_scene(), cam_cfg, (4, 0))
+    finally:
+        globals()["SPP"] = old
