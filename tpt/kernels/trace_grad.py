@@ -375,6 +375,10 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
         scratch_shapes=[v3_scr, v3_scr, v3_scr, v3_scr, v3_scr,
                         lane_scr(jnp.uint32), lane_scr(jnp.int32),
                         pltpu.VMEM((ATTR_ROWS, ATTR_COLS), jnp.float32)],
+        # the transposed bounce body's live set exceeds the 16M default
+        # scoped-vmem cap; v5e has 128M physical VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(frame_arr, cam20, sphere_geom, cuboid_geom, table, px, py,
       g_rad, g_missd, g_misst)
