@@ -129,6 +129,42 @@ def test_f_number_stat(session):
         s.base_cam.focal_length / s.base_cam.aperture_diameter)
 
 
+def test_control_panel_drives_session(session, tmp_path):
+    # the ImGui-panel analogue: Slider.set_val fires the same callback a
+    # drag does, so the panel is testable headless under Agg
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from tpt.interactive import ControlPanel
+    s = session
+    panel = ControlPanel(s)
+    panel.s_spp.set_val(7)
+    assert s.cfg.spp == 7
+    panel.s_depth.set_val(21)
+    assert s.cfg.ray_depth == 21
+    panel.s_focal.set_val(12.5)
+    assert s.base_cam.focal_length == pytest.approx(12.5)
+    panel.s_aperture.set_val(0.05)
+    assert s.base_cam.aperture_diameter == pytest.approx(0.05)
+    assert int(s.acc.frame) == 0  # every control resets accumulation
+    # atmosphere sliders update config (cheap: session env is constant)
+    panel.s_time.set_val(0.25)
+    assert s.atmo.time == pytest.approx(0.25)
+    panel.s_isteps.set_val(5)
+    assert s.atmo.i_steps == 5
+    # buttons: toggle env twice, reload scene
+    was = s.env_is_atmosphere
+    panel.b_env.on_clicked  # wired
+    s.atmo = type(s.atmo)(size=8, i_steps=2, j_steps=2)
+    panel.b_env.ax.figure.canvas.draw_idle()
+    s.toggle_environment(); s.toggle_environment()
+    assert s.env_is_atmosphere == was
+    # restore defaults for other tests
+    panel.s_spp.set_val(1)
+    panel.s_depth.set_val(13)
+    panel.s_focal.set_val(20.0)
+    panel.s_aperture.set_val(0.14)
+
+
 def test_render_and_screenshot(session):
     s = session
     disp = s.render_one()

@@ -110,26 +110,37 @@ class ViewerSession:
         self.set_atmosphere(time=float(self.atmo.time + delta))
 
     # ---- tracer params (Gui.cs:40-66; ranges identical) ----
-    def adjust_spp(self, delta: int):
+    def set_spp(self, value: int):
         self.cfg = dataclasses.replace(
-            self.cfg, spp=int(np.clip(self.cfg.spp + delta, 1, 10)))
+            self.cfg, spp=int(np.clip(value, 1, 10)))
+        self.invalidate()
+
+    def adjust_spp(self, delta: int):
+        self.set_spp(self.cfg.spp + delta)
+
+    def set_ray_depth(self, value: int):
+        self.cfg = dataclasses.replace(
+            self.cfg, ray_depth=int(np.clip(value, 1, 50)))
         self.invalidate()
 
     def adjust_ray_depth(self, delta: int):
-        self.cfg = dataclasses.replace(
-            self.cfg, ray_depth=int(np.clip(self.cfg.ray_depth + delta, 1, 50)))
+        self.set_ray_depth(self.cfg.ray_depth + delta)
+
+    def set_focal(self, value: float):
+        self.base_cam = dataclasses.replace(
+            self.base_cam, focal_length=float(value))
         self.invalidate()
 
     def adjust_focal(self, delta: float):
+        self.set_focal(self.base_cam.focal_length + delta)
+
+    def set_aperture(self, value: float):
         self.base_cam = dataclasses.replace(
-            self.base_cam, focal_length=float(self.base_cam.focal_length + delta))
+            self.base_cam, aperture_diameter=float(value))
         self.invalidate()
 
     def adjust_aperture(self, delta: float):
-        self.base_cam = dataclasses.replace(
-            self.base_cam,
-            aperture_diameter=float(self.base_cam.aperture_diameter + delta))
-        self.invalidate()
+        self.set_aperture(self.base_cam.aperture_diameter + delta)
 
     # ---- camera (src/Camera.cs) ----
     def tick(self, dt: float, keys=(), mouse_delta=(0.0, 0.0)) -> bool:
@@ -270,9 +281,74 @@ class ViewerSession:
         return self.base_cam.focal_length / ap if ap > 0 else float("inf")
 
 
+class ControlPanel:
+    """Widget-panel analogue of the reference's ImGui windows
+    (src/Render/Gui.cs) built on matplotlib.widgets: one slider/button per
+    GUI control, with the reference's ranges, all driving a ViewerSession.
+
+    Works headless under the Agg backend (Slider.set_val triggers the same
+    callbacks a drag does — tests/test_interactive.py drives it that way).
+    """
+
+    def __init__(self, ses: "ViewerSession", fig=None):
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import Button, Slider
+
+        self.ses = ses
+        self.fig = fig or plt.figure(figsize=(4.2, 6.2))
+        self.fig.canvas.manager.set_window_title("tpt controls") \
+            if hasattr(self.fig.canvas.manager, "set_window_title") else None
+
+        def row(i, h=0.035):
+            return self.fig.add_axes([0.32, 0.95 - i * 0.055, 0.58, h])
+
+        # Overview panel (Gui.cs:40-66)
+        self.s_spp = Slider(row(0), "SPP", 1, 10, valinit=ses.cfg.spp,
+                            valstep=1)
+        self.s_spp.on_changed(lambda v: ses.set_spp(int(v)))
+        self.s_depth = Slider(row(1), "MaxRayDepth", 1, 50,
+                              valinit=ses.cfg.ray_depth, valstep=1)
+        self.s_depth.on_changed(lambda v: ses.set_ray_depth(int(v)))
+        self.s_focal = Slider(row(2), "FocalLength", 0.1, 60.0,
+                              valinit=ses.base_cam.focal_length)
+        self.s_focal.on_changed(ses.set_focal)
+        self.s_aperture = Slider(row(3), "ApertureDiam", 0.0, 0.6,
+                                 valinit=ses.base_cam.aperture_diameter)
+        self.s_aperture.on_changed(ses.set_aperture)
+
+        # EnvironmentMap panel (Gui.cs:93-144)
+        self.s_time = Slider(row(4), "Time", 0.0, 1.0,
+                             valinit=ses.atmo.time)
+        self.s_time.on_changed(lambda v: ses.set_atmosphere(time=float(v)))
+        self.s_intensity = Slider(row(5), "Intensity", 0.0, 40.0,
+                                  valinit=ses.atmo.light_intensity)
+        self.s_intensity.on_changed(
+            lambda v: ses.set_atmosphere(light_intensity=float(v)))
+        self.s_isteps = Slider(row(6), "ISteps", 1, 100,
+                               valinit=ses.atmo.i_steps, valstep=1)
+        self.s_isteps.on_changed(
+            lambda v: ses.set_atmosphere(i_steps=int(v)))
+        self.s_jsteps = Slider(row(7), "JSteps", 1, 40,
+                               valinit=ses.atmo.j_steps, valstep=1)
+        self.s_jsteps.on_changed(
+            lambda v: ses.set_atmosphere(j_steps=int(v)))
+
+        def button(i, label, cb):
+            b = Button(self.fig.add_axes([0.1, 0.95 - i * 0.055, 0.8, 0.04]),
+                       label)
+            b.on_clicked(lambda _ev: cb())
+            return b
+
+        self.b_env = button(8, "Toggle atmosphere/skybox", ses.toggle_environment)
+        self.b_shot = button(9, "Screenshot", ses.screenshot)
+        self.b_rand = button(10, "Random materials (36)",
+                             ses.randomize_grid_materials)
+        self.b_reload = button(11, "Reload scene", ses.reload_scene)
+
+
 def run_viewer(scene_name: str = "demo", size: int = 256,
                env_name: str = "atmosphere", frames_per_draw: int = 1,
-               cubemap_files=None) -> int:
+               cubemap_files=None, panel: bool = False) -> int:
     try:
         import matplotlib.pyplot as plt
     except ImportError:
@@ -281,6 +357,8 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
 
     ses = ViewerSession(scene_name, size, env_name,
                         cubemap_files=cubemap_files)
+    # keep a strong reference: matplotlib widgets die when collected
+    control_panel = ControlPanel(ses) if panel else None  # noqa: F841
     keys_down = set()
     fig, ax = plt.subplots(figsize=(6, 6))
     im = ax.imshow(np.zeros((ses.cfg.height, ses.cfg.width, 3)),
@@ -390,9 +468,12 @@ def main(argv=None) -> int:
     p.add_argument("--cubemap-files", default="",
                    help="6 comma-separated face images (+X,-X,+Y,-Y,+Z,-Z) "
                         "for the 'e' skybox toggle")
+    p.add_argument("--panel", action="store_true",
+                   help="open a widget control panel (ImGui-panel analogue)")
     args = p.parse_args(argv)
     files = args.cubemap_files.split(",") if args.cubemap_files else None
-    return run_viewer(args.scene, args.size, args.env, cubemap_files=files)
+    return run_viewer(args.scene, args.size, args.env, cubemap_files=files,
+                      panel=args.panel)
 
 
 if __name__ == "__main__":
