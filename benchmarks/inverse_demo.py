@@ -29,7 +29,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--size", default="256x256")
-    ap.add_argument("--lr", type=float, default=2.0)
+    ap.add_argument("--lr", type=float, default=0.02)
     ap.add_argument("--out", default="artifacts/inverse_demo.json")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
@@ -66,26 +66,34 @@ def main() -> int:
     def target_frame(frame):
         return render(true_sm, true_cm, frame)
 
-    # perturb albedo (lanes 0:3) and emissive (lanes 4:7) of every object
+    # perturb every sphere's albedo (lanes 0:3) and the area light's
+    # emissive (cuboid 1, lanes 4:7 — LoadScene order: floor, light, ...);
+    # optimize exactly those lanes.  64-parameter-object recovery per
+    # BASELINE config 5, restricted to lanes the 256^2 view identifies.
     rng = np.random.default_rng(11)
     sm0 = np.asarray(true_sm).copy()
     cm0 = np.asarray(true_cm).copy()
     sm0[:48, 0:3] = rng.uniform(0.2, 0.9, (48, 3))
-    cm0[:7, 4:7] = np.clip(cm0[:7, 4:7] + rng.uniform(-1, 1, (7, 3)), 0, None)
-    cm0[:7, 0:3] = rng.uniform(0.2, 0.9, (7, 3))
-    # optimize only albedo+emissive lanes
-    mask_s = np.zeros_like(sm0); mask_s[:48, 0:7] = 1.0; mask_s[:, 3] = 0.0
-    mask_c = np.zeros_like(cm0); mask_c[:7, 0:7] = 1.0; mask_c[:, 3] = 0.0
+    cm0[1, 4:7] = np.clip(cm0[1, 4:7] + rng.uniform(-2, 2, 3), 0.5, None)
+    mask_s = np.zeros_like(sm0); mask_s[:48, 0:3] = 1.0
+    mask_c = np.zeros_like(cm0); mask_c[1, 4:7] = 1.0
+
+    # Adam: per-parameter scaling makes the recovery robust to the orders-
+    # of-magnitude spread between albedo and emissive gradients (plain SGD
+    # needs a per-lane lr and diverges otherwise)
+    import optax
+    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.05))
 
     @jax.jit
-    def step(params, frame, target, lr):
+    def step(params, opt_state, frame, target):
         def loss_fn(p):
             img = render(p[0], p[1], frame)
             err = img - target
             return jnp.mean(err * err)
         loss, (gs, gc) = jax.value_and_grad(loss_fn)(params)
-        sm, cm = params
-        return ((sm - lr * gs * mask_s, cm - lr * gc * mask_c), loss)
+        updates, opt_state = opt.update((gs * mask_s, gc * mask_c), opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
     import os
     from tpt.postfx import post_process
@@ -99,20 +107,21 @@ def main() -> int:
               np.asarray(post_process(target_frame(jnp.int32(0)))))
     t0 = time.time()
     losses = []
+    opt_state = opt.init(params)
     for i in range(args.steps):
         frame = jnp.int32(i)
         tgt = target_frame(frame)
-        params, loss = step(params, frame, tgt, jnp.float32(args.lr))
+        params, opt_state, loss = step(params, opt_state, frame, tgt)
         if i % 20 == 0 or i == args.steps - 1:
             losses.append(float(loss))
             print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
 
-    sm_err0 = float(np.abs(sm0[:48, 0:7] - np.asarray(true_sm)[:48, 0:7]).mean())
-    sm_err = float(np.abs(np.asarray(params[0])[:48, 0:7]
-                          - np.asarray(true_sm)[:48, 0:7]).mean())
-    cm_err0 = float(np.abs(cm0[:7, 0:7] - np.asarray(true_cm)[:7, 0:7]).mean())
-    cm_err = float(np.abs(np.asarray(params[1])[:7, 0:7]
-                          - np.asarray(true_cm)[:7, 0:7]).mean())
+    sm_err0 = float(np.abs(sm0[:48, 0:3] - np.asarray(true_sm)[:48, 0:3]).mean())
+    sm_err = float(np.abs(np.asarray(params[0])[:48, 0:3]
+                          - np.asarray(true_sm)[:48, 0:3]).mean())
+    cm_err0 = float(np.abs(cm0[1, 4:7] - np.asarray(true_cm)[1, 4:7]).mean())
+    cm_err = float(np.abs(np.asarray(params[1])[1, 4:7]
+                          - np.asarray(true_cm)[1, 4:7]).mean())
     wall = time.time() - t0
     result = {
         "metric": "inverse_demo_material_recovery",

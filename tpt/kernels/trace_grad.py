@@ -383,6 +383,15 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     )(frame_arr, cam20, sphere_geom, cuboid_geom, table, px, py,
       g_rad, g_missd, g_misst)
 
+    # Finite filter: rare degenerate lane configurations (observed ~1 pixel
+    # per few frames at 1080p) can emit a non-finite parameter cotangent,
+    # and the one-hot transpose's column reduction then poisons an entire
+    # table column.  Zero the offending entries — the standard
+    # differentiable-rendering treatment of measure-zero gradient events
+    # (the estimator is already biased at decision boundaries; dropping a
+    # measure-zero set changes nothing in expectation).
+    d_table = jnp.where(jnp.isfinite(d_table), d_table, 0.0)
+    d_cam = jnp.where(jnp.isfinite(d_cam), d_cam, 0.0)
     (d_scene,) = table_vjp(d_table)
     d_ip = jnp.zeros((4, 4), jnp.float32)
     d_ip = d_ip.at[0, 0].set(d_cam[0]).at[0, 1].set(d_cam[1]).at[0, 2].set(d_cam[2])
