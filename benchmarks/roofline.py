@@ -99,8 +99,17 @@ def main() -> int:
     # outer while — duty cycle is kernel / loop, not a sum over all events
     kernel_us = sum(v for k, v in totals.items()
                     if k.startswith("pallas_trace"))
-    device_us = max((v for k, v in totals.items()
-                     if k.startswith("while")), default=sum(totals.values()))
+    while_events = [v for k, v in totals.items() if k.startswith("while")]
+    if while_events:
+        device_us = max(while_events)
+        denominator = "max-while-event"
+    else:
+        # fallback: nested events (jit wrapper + while + kernel) overlap,
+        # so a plain sum double-counts and deflates the duty cycle —
+        # exclude the outer jit wrapper events from the sum
+        device_us = sum(v for k, v in totals.items()
+                        if not k.startswith("jit_"))
+        denominator = "sum-excluding-jit-wrappers"
     top = sorted(totals.items(), key=lambda kv: -kv[1])[:8]
 
     segs = r
@@ -115,6 +124,7 @@ def main() -> int:
         "kernel_duty_cycle": round(kernel_us / max(device_us, 1e-9), 3),
         "achieved_gflops_modeled_per_segment": round(flops / max(kernel_s, 1e-9) / 1e9, 1),
         "flop_model_per_segment": FLOPS_PER_SEGMENT_DEMO,
+        "duty_cycle_denominator": denominator,
         "note": ("kernel_device_time is xprof-measured; FLOP count uses the "
                  "documented per-segment model x measured segment count — "
                  "XLA cost analysis cannot see inside a Pallas custom call"),

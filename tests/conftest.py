@@ -14,6 +14,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import matplotlib  # noqa: E402
+
+matplotlib.use("Agg")  # headless widget tests (tests/test_interactive.py)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

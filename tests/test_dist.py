@@ -143,3 +143,74 @@ def test_kernel_and_oracle_backends_agree():
     np.testing.assert_allclose(np.asarray(got_k), np.asarray(got_o),
                                rtol=1e-6, atol=1e-6)
     assert int(rays_k) == int(rays_o)
+
+
+def test_dp_sharded_center_jitter_bit_exact(monkeypatch):
+    """cfg.jitter must reach the kernel inside the sharded paths: a
+    dp-sharded jitter='center' render is bit-exact to the single-chip
+    center render (the r3 bug: dist.py dropped cfg.jitter, silently
+    rendering corner-jitter whenever dp/sp > 1).
+
+    Bitwise image comparisons cannot detect the dropped flag on this
+    backend — XLA:CPU rounds the corner and center NDC expressions
+    identically at every config probed (the modes are algebraically equal;
+    tests/test_jitter.py quantifies the ulp-level delta where it exists) —
+    so the kernel-argument value is captured directly as well."""
+    from tpt.kernels import trace as trace_mod
+
+    seen = []
+    real = trace_mod.pallas_trace
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("jitter", "corner"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(trace_mod, "pallas_trace", spy)
+    cam = CameraConfig(position=(0.0, 0.5, 2.0), look_x=-90.0, look_y=-5.0,
+                       focal_length=8.0, aperture_diameter=0.05)
+    from tpt.scene import cornell_scene as _cs
+    scene = _cs().build()
+    inv_p, inv_v, pos = camera.camera_matrices(cam, 32, 32)
+    env = constant_environment((0.4, 0.5, 0.7))
+    cfg = RenderConfig(width=32, height=32, ray_depth=3, spp=2,
+                      jitter="center")
+    mesh = make_mesh(dp=8, sp=1)
+    render = make_dist_renderer(mesh, cfg)
+    got, _ = render(scene, env, inv_p, inv_v, cam.focal_length,
+                    cam.aperture_diameter, 0)
+    want, _ = render_fields(
+        scene, env, inv_p, inv_v, pos, jnp.int32(0),
+        jnp.float32(cam.focal_length), jnp.float32(cam.aperture_diameter),
+        width=32, height=32, ray_depth=3, spp=2, jitter="center")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert seen and all(j == "center" for j in seen)
+
+
+def test_train_step_honors_center_jitter(monkeypatch):
+    """The sharded training path must forward cfg.jitter to trace_diff
+    (scalar-loss comparisons can't detect the flag: the two modes differ
+    only at ulp level, below f32 loss resolution at this size — so capture
+    the argument that actually reaches the differentiable trace)."""
+    from tpt.kernels import trace_grad
+
+    seen = []
+    real = trace_grad.trace_diff
+
+    def spy(scene, inv_p, inv_v, frame, focal, aperture, row0,
+            width, height, ray_depth, spp, counts, n_rows=None,
+            jitter="corner"):
+        seen.append(jitter)
+        return real(scene, inv_p, inv_v, frame, focal, aperture, row0,
+                    width, height, ray_depth, spp, counts, n_rows, jitter)
+
+    monkeypatch.setattr(trace_grad, "trace_diff", spy)
+    cam, scene, inv_p, inv_v, pos, env = setup()
+    target = jnp.zeros((16, 32, 3), jnp.float32) + 0.25
+    cfg = RenderConfig(width=32, height=16, ray_depth=3, spp=1,
+                      jitter="center")
+    mesh = make_mesh(dp=4, sp=2)
+    step = make_train_step(mesh, cfg, counts=(4, 5), backend="kernel")
+    _, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
+                   cam.aperture_diameter, 0, target, 0.0)
+    assert np.isfinite(float(loss))
+    assert seen and all(j == "center" for j in seen)

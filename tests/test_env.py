@@ -116,3 +116,92 @@ def test_blocked_sampler_size1():
     np.testing.assert_allclose(out[0], 0.1, rtol=1e-6)
     np.testing.assert_allclose(out[1], 0.2, rtol=1e-6)
     np.testing.assert_allclose(out[2], 0.3, rtol=1e-6)
+
+
+def _texel_dirs(size):
+    """Per-face texel-center directions [6, S, S, 3] (the inverse of
+    cubemap_face_uv_planar's face mapping; same construction as
+    tpt.env.default_skybox)."""
+    uv = (np.arange(size, dtype=np.float32) + 0.5) / size * 2.0 - 1.0
+    sc, tc = np.meshgrid(uv, uv, indexing="xy")
+    one = np.ones_like(sc)
+    dirs = np.stack([
+        np.stack([one, -tc, -sc], -1), np.stack([-one, -tc, sc], -1),
+        np.stack([sc, one, tc], -1), np.stack([sc, -one, -tc], -1),
+        np.stack([sc, -tc, one], -1), np.stack([-sc, -tc, -one], -1),
+    ])
+    return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+def _smooth_env(size):
+    """A smooth analytic radiance field (low-order SH-like) baked to faces."""
+    d = _texel_dirs(size)
+
+    def f(dirs):
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        base = 0.5 + 0.2 * x + 0.15 * y + 0.1 * z + 0.08 * x * y
+        return np.stack([base, base * 0.8 + 0.1, base * 0.6 + 0.2], -1)
+
+    return jnp.asarray(f(d).astype(np.float32)), f
+
+
+def _seam_dirs(n):
+    """Directions crossing cube-face borders: great-circle fans through the
+    12 cube edges (each edge's midpoint, jittered along the edge)."""
+    rng = np.random.default_rng(7)
+    # cube edge midpoints: permutations of (+-1, +-1, t)
+    dirs = []
+    for axis in range(3):
+        for s0 in (-1.0, 1.0):
+            for s1 in (-1.0, 1.0):
+                t = rng.uniform(-0.95, 0.95, n)
+                v = np.zeros((n, 3), np.float32)
+                a1, a2 = [a for a in range(3) if a != axis]
+                v[:, axis] = t
+                v[:, a1] = s0
+                v[:, a2] = s1
+                dirs.append(v)
+    d = np.concatenate(dirs).astype(np.float32)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def test_cubemap_seam_error_is_bounded_and_first_order():
+    """Quantifies the documented clamp-to-edge deviation from GL seamless
+    filtering (src/MainWindow.cs:168 enables GL_TEXTURE_CUBE_MAP_SEAMLESS;
+    tpt/env.py samples clamp-to-edge per face).
+
+    For a smooth environment the clamped lookup's error against the analytic
+    field along face borders is bounded by the field's variation across one
+    texel — first-order in 1/S — because clamping holds the edge texel
+    constant across the last half-texel instead of blending into the
+    neighboring face.  Empirically at S=16 the demo field's seam error is
+    ~2e-2 and halves when S doubles; face interiors are ~4x more accurate.
+    This bounds the deviation for any smooth env (the 32^2 golden sky
+    included); it vanishes as the resolution combo is raised."""
+    from tpt.env import sample_environment
+
+    seam = _seam_dirs(64)
+    errs = {}
+    interior_errs = {}
+    for size in (16, 32):
+        faces, f = _smooth_env(size)
+        got = np.asarray(sample_environment(faces, jnp.asarray(seam)))
+        errs[size] = np.abs(got - f(seam)).max()
+        # interior comparison at inter-texel midpoints (texel centers are
+        # exact under bilinear; midpoints show the true interpolation error)
+        a = _texel_dirs(size)[:, size // 4: -size // 4,
+                              size // 4: -size // 4]
+        d_int = a[:, :-1, :-1] + a[:, 1:, 1:]
+        d_int = (d_int / np.linalg.norm(d_int, axis=-1, keepdims=True)
+                 ).reshape(-1, 3)
+        got_i = np.asarray(sample_environment(faces, jnp.asarray(d_int)))
+        interior_errs[size] = np.abs(got_i - f(d_int)).max()
+
+    # absolute bound at the golden-sky-relevant sizes
+    assert errs[16] < 0.03
+    assert errs[32] < 0.016
+    # first-order decay: doubling the resolution ~halves the seam error
+    assert errs[32] < errs[16] * 0.7
+    # seams are the worst case but stay within ~one texel's field variation:
+    # comparable magnitude to interior bilinear error, not orders worse
+    assert errs[16] < interior_errs[16] * 8

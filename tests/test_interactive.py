@@ -129,11 +129,24 @@ def test_f_number_stat(session):
         s.base_cam.focal_length / s.base_cam.aperture_diameter)
 
 
+def _click(button):
+    """Click a matplotlib Button through its real widget event path
+    (press+release MouseEvents at the button axes' pixel center), so the
+    on_clicked wiring itself is what the test exercises."""
+    from matplotlib.backend_bases import MouseButton, MouseEvent
+    fig = button.ax.figure
+    fig.canvas.draw()  # realize the layout so bbox coords are valid
+    bbox = button.ax.bbox
+    x = bbox.x0 + bbox.width / 2
+    y = bbox.y0 + bbox.height / 2
+    for name in ("button_press_event", "button_release_event"):
+        MouseEvent(name, fig.canvas, x, y, MouseButton.LEFT)._process()
+
+
 def test_control_panel_drives_session(session, tmp_path):
     # the ImGui-panel analogue: Slider.set_val fires the same callback a
-    # drag does, so the panel is testable headless under Agg
-    import matplotlib
-    matplotlib.use("Agg", force=True)
+    # drag does, so the panel is testable headless under Agg (set in
+    # tests/conftest.py)
     from tpt.interactive import ControlPanel
     s = session
     panel = ControlPanel(s)
@@ -151,18 +164,72 @@ def test_control_panel_drives_session(session, tmp_path):
     assert s.atmo.time == pytest.approx(0.25)
     panel.s_isteps.set_val(5)
     assert s.atmo.i_steps == 5
-    # buttons: toggle env twice, reload scene
+    # resolution combo slider (Gui.cs:93-112); env is constant here so no
+    # precompute runs, only the config updates
+    panel.s_size.set_val(1)
+    assert s.atmo.size == 64
+    # buttons, driven through the widget event path (press+release)
     was = s.env_is_atmosphere
-    panel.b_env.on_clicked  # wired
     s.atmo = type(s.atmo)(size=8, i_steps=2, j_steps=2)
-    panel.b_env.ax.figure.canvas.draw_idle()
-    s.toggle_environment(); s.toggle_environment()
+    _click(panel.b_env)
+    assert s.env_is_atmosphere == (not was)
+    _click(panel.b_env)
     assert s.env_is_atmosphere == was
+    n_before = len(list(tmp_path.glob("*.png")))
+    s.screenshot_dir = str(tmp_path)
+    _click(panel.b_shot)
+    assert len(list(tmp_path.glob("*.png"))) == n_before + 1
+    mats = np.asarray(s.scene.sphere_material).copy()
+    _click(panel.b_rand)
+    assert not np.array_equal(np.asarray(s.scene.sphere_material), mats)
+    _click(panel.b_reload)
     # restore defaults for other tests
     panel.s_spp.set_val(1)
     panel.s_depth.set_val(13)
     panel.s_focal.set_val(20.0)
     panel.s_aperture.set_val(0.14)
+
+
+def test_atmosphere_size_combo(session):
+    # the reference's EnvironmentMap resolution combo {32..2048}
+    # (Gui.cs:93-112): set_atmosphere_size reallocates + re-precomputes
+    s = session
+    s.atmo = type(s.atmo)(size=32, i_steps=2, j_steps=2)
+    was_atmo = s.env_is_atmosphere
+    if not was_atmo:
+        s.toggle_environment()
+    s.set_atmosphere_size(64)
+    assert s.atmo.size == 64
+    assert np.asarray(s.env_faces).shape == (6, 64, 64, 3)
+    s.adjust_atmosphere_size(-1)
+    assert s.atmo.size == 32
+    assert np.asarray(s.env_faces).shape == (6, 32, 32, 3)
+    s.adjust_atmosphere_size(-1)          # clamped at the combo's bottom
+    assert s.atmo.size == 32
+    with pytest.raises(ValueError):
+        s.set_atmosphere_size(100)
+    if not was_atmo:
+        s.toggle_environment()
+
+
+def test_default_skybox_is_directional(tmp_path_factory):
+    # with no --cubemap-files the 'e' toggle must show a real (non-constant)
+    # environment, like the reference's bundled 6-PNG skybox
+    # (src/MainWindow.cs:177-187)
+    from tpt.env import default_skybox
+    faces = np.asarray(default_skybox(16))
+    assert faces.shape == (6, 16, 16, 3)
+    assert np.all(np.isfinite(faces)) and np.all(faces >= 0)
+    assert faces.std() > 0.05             # non-constant
+    # +Y looks up (sky-ish blue: b > r), -Y looks down (ground: r >= b)
+    up = faces[2].mean(axis=(0, 1))
+    down = faces[3].mean(axis=(0, 1))
+    assert up[2] > up[0]
+    assert down[0] >= down[2]
+    # the viewer uses it as the no-flags default
+    ses = ViewerSession("demo", size=32, env_name="skybox",
+                        screenshot_dir=str(tmp_path_factory.mktemp("shots2")))
+    assert np.asarray(ses.env_faces).std() > 0.05
 
 
 def test_render_and_screenshot(session):

@@ -94,4 +94,8 @@ def test_kernel_honors_center_mode():
                          width=W, height=H, ray_depth=DEPTH, spp=SPP,
                          jitter="corner")
     img_c = np.moveaxis(np.asarray(apply_environment(res_c, ENV, SPP)), 0, -1)
-    assert np.abs(img - img_c).max() < 2e-4
+    diff = np.abs(img - img_c).max()
+    assert diff < 2e-4
+    # ...and strictly nonzero: if the kernel silently ignored the jitter
+    # flag, corner and center renders would be bitwise identical
+    assert diff > 0.0

@@ -12,6 +12,12 @@ uses Nearest-min/Linear-mag, and direction lookups always magnify).
 Seams: GL seamless-cubemap filtering (enabled at src/MainWindow.cs:168)
 averages across faces at edges; we use clamp-to-edge per face instead — a
 sub-texel difference confined to face borders, documented here deliberately.
+Quantified (tests/test_env.py::test_cubemap_seam_error_is_bounded_and_
+first_order): for a smooth env the seam error is bounded by the field's
+variation across ONE texel — first-order in 1/S (measured ~2e-2 at S=16,
+halving as S doubles, comparable to interior bilinear error) — so it is
+negligible at the 256^2 default and visible only at the combo's lowest
+resolutions.
 
 Everything is differentiable w.r.t. the face data (bilinear weights) and the
 direction (through s/t; face choice is piecewise constant).
@@ -237,6 +243,50 @@ def sample_environment_blocked(table, direction3):
         return top * (1 - fy) + bot * fy
 
     return jnp.stack([channel(0), channel(1), channel(2)])
+
+
+def default_skybox(size: int = 64) -> jnp.ndarray:
+    """Procedural stand-in for the reference's bundled 6-PNG environment map
+    (res/textures/EnvironmentMap/{posX,negX,posY,negY,posZ,negZ}.png, loaded
+    at src/MainWindow.cs:177-187).  The reference ships image assets; we
+    synthesize an equivalent non-constant skybox — vertical sky gradient, a
+    warm sun disc on +Z and a dark ground plane — so the 'e' skybox toggle
+    (Gui.cs:80-87) shows a real directional environment with no flags.
+
+    Returns f32[6, S, S, 3] linear radiance in GL face order."""
+    s = size
+    # per-face texel center directions (GL cubemap convention, the inverse
+    # of cubemap_face_uv_planar's mapping)
+    uv = (np.arange(s, dtype=np.float32) + 0.5) / s * 2.0 - 1.0
+    sc, tc = np.meshgrid(uv, uv, indexing="xy")  # [S, S] each; row = t
+    one = np.ones_like(sc)
+    dirs = np.stack([
+        np.stack([one, -tc, -sc]),    # +X: sc = -z, tc = -y
+        np.stack([-one, -tc, sc]),    # -X
+        np.stack([sc, one, tc]),      # +Y: sc = x, tc = z
+        np.stack([sc, -one, -tc]),    # -Y
+        np.stack([sc, -tc, one]),     # +Z
+        np.stack([-sc, -tc, -one]),   # -Z
+    ])                                # [6, 3, S, S]
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+
+    horizon = np.array([0.82, 0.85, 0.95], np.float32)
+    zenith = np.array([0.25, 0.45, 0.85], np.float32)
+    ground = np.array([0.28, 0.25, 0.22], np.float32)
+    h = np.clip(dy, 0.0, 1.0)[..., None]
+    sky = horizon + (zenith - horizon) * np.sqrt(h)
+    # sun: warm disc toward a fixed late-afternoon direction
+    sun_dir = np.array([0.35, 0.45, 0.82], np.float32)
+    sun_dir /= np.linalg.norm(sun_dir)
+    cosang = dx * sun_dir[0] + dy * sun_dir[1] + dz * sun_dir[2]
+    sun = np.clip((cosang - 0.997) / 0.003, 0.0, 1.0)[..., None] \
+        * np.array([18.0, 15.0, 9.0], np.float32)
+    glow = np.clip(cosang, 0.0, 1.0)[..., None] ** 32 \
+        * np.array([0.9, 0.6, 0.25], np.float32)
+    below = np.clip(-dy, 0.0, 1.0)[..., None]
+    color = sky * (1.0 - below) + ground * below + (sun + glow) * (1.0 - below)
+    return jnp.asarray(color.astype(np.float32))
 
 
 def srgb_to_linear(rgb):

@@ -14,7 +14,9 @@ to a live action:
                          random materials 'M' (36 grid spheres, Gui.cs:69-73)
   EnvironmentMap panel-> env toggle 'e' (skybox <-> atmosphere, Gui.cs:80-87),
                          atmosphere time 't'/'y' (re-runs the precompute,
-                         Gui.cs:114-144)
+                         Gui.cs:114-144),
+                         atmosphere resolution ','/'.' (the {32..2048}
+                         combo, Gui.cs:93-112)
   GameObjectProperties-> left-click picks (CPU ray cast, Gui.cs:223-262);
                          arrows / 'u'/'o' move the picked object,
                          'm' randomizes its material, '<'/'>' scales
@@ -89,9 +91,31 @@ class ViewerSession:
                 from .env import load_cubemap_files
                 self._skybox = load_cubemap_files(self.cubemap_files)
             else:
-                from .env import constant_environment
-                self._skybox = constant_environment((0.7, 0.8, 1.0))
+                # the reference ships a 6-PNG environment map
+                # (src/MainWindow.cs:177-187); with no files we synthesize
+                # an equivalent non-constant default (tpt.env.default_skybox)
+                from .env import default_skybox
+                self._skybox = default_skybox()
         return self._skybox
+
+    # the reference's EnvironmentMap resolution combo (Gui.cs:93-112)
+    ATMOSPHERE_SIZES = (32, 64, 128, 256, 512, 1024, 2048)
+
+    def set_atmosphere_size(self, size: int):
+        """Select an atmosphere cubemap resolution from the reference's combo
+        {32..2048} (Gui.cs:93-112): reallocates the cubemap and re-runs the
+        precompute."""
+        if size not in self.ATMOSPHERE_SIZES:
+            raise ValueError(f"atmosphere size {size} not in "
+                             f"{self.ATMOSPHERE_SIZES}")
+        self.set_atmosphere(size=int(size))
+
+    def adjust_atmosphere_size(self, direction: int):
+        """Step through the resolution combo (keyboard analogue)."""
+        sizes = self.ATMOSPHERE_SIZES
+        i = min(range(len(sizes)), key=lambda k: abs(sizes[k] - self.atmo.size))
+        self.set_atmosphere_size(sizes[int(np.clip(i + direction, 0,
+                                                   len(sizes) - 1))])
 
     def toggle_environment(self):
         self.env_is_atmosphere = not self.env_is_atmosphere
@@ -332,6 +356,14 @@ class ControlPanel:
                                valinit=ses.atmo.j_steps, valstep=1)
         self.s_jsteps.on_changed(
             lambda v: ses.set_atmosphere(j_steps=int(v)))
+        # resolution combo {32..2048} (Gui.cs:93-112) as an index slider
+        sizes = ses.ATMOSPHERE_SIZES
+        init_i = min(range(len(sizes)),
+                     key=lambda k: abs(sizes[k] - ses.atmo.size))
+        self.s_size = Slider(row(8), f"Resolution {sizes}", 0, len(sizes) - 1,
+                             valinit=init_i, valstep=1)
+        self.s_size.on_changed(
+            lambda v: ses.set_atmosphere_size(sizes[int(v)]))
 
         def button(i, label, cb):
             b = Button(self.fig.add_axes([0.1, 0.95 - i * 0.055, 0.8, 0.04]),
@@ -339,11 +371,11 @@ class ControlPanel:
             b.on_clicked(lambda _ev: cb())
             return b
 
-        self.b_env = button(8, "Toggle atmosphere/skybox", ses.toggle_environment)
-        self.b_shot = button(9, "Screenshot", ses.screenshot)
-        self.b_rand = button(10, "Random materials (36)",
+        self.b_env = button(9, "Toggle atmosphere/skybox", ses.toggle_environment)
+        self.b_shot = button(10, "Screenshot", ses.screenshot)
+        self.b_rand = button(11, "Random materials (36)",
                              ses.randomize_grid_materials)
-        self.b_reload = button(11, "Reload scene", ses.reload_scene)
+        self.b_reload = button(12, "Reload scene", ses.reload_scene)
 
 
 def run_viewer(scene_name: str = "demo", size: int = 256,
@@ -384,6 +416,9 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
         "b": lambda: ses.adjust_aperture(0.002),
         "e": ses.toggle_environment,
         "t": lambda: ses.adjust_time(-0.02), "y": lambda: ses.adjust_time(0.02),
+        # atmosphere resolution combo {32..2048} (Gui.cs:93-112)
+        ",": lambda: ses.adjust_atmosphere_size(-1),
+        ".": lambda: ses.adjust_atmosphere_size(1),
         "m": ses.randomize_picked_material,
         "M": ses.randomize_grid_materials,
         "left": lambda: ses.move_picked((-0.5, 0, 0)),

@@ -97,6 +97,7 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
     rows_local = hpad // dp
     width, height, ray_depth, spp = cfg.width, cfg.height, cfg.ray_depth, cfg.spp
     counts = cfg.static_counts
+    jitter = cfg.jitter
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -118,7 +119,7 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
                 res = pallas_trace(scene, inv_proj, inv_view, frame_eff,
                                    focal, aperture, width=width, height=height,
                                    ray_depth=ray_depth, spp=spp, counts=counts,
-                                   n_rows=rows_local, row0=y0)
+                                   n_rows=rows_local, row0=y0, jitter=jitter)
                 acc = acc + apply_environment_blocked(res, env, spp)
             else:
                 py = y0 + jax.lax.broadcasted_iota(
@@ -129,7 +130,8 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
                 gather = make_xla_gather_fn(scene)
                 cam = camera_params(inv_proj, inv_view, focal, aperture)
                 res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
-                                  width, height, frame_eff, ray_depth, spp)
+                                  width, height, frame_eff, ray_depth, spp,
+                                  jitter=jitter)
                 acc = acc + apply_environment(res, env, spp)
             rays = rays + jnp.sum(res.ray_count)
 
@@ -199,6 +201,7 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
     hpad = _pad_rows(cfg.height, dp)
     rows_local = hpad // dp
     width, height, ray_depth, spp = cfg.width, cfg.height, cfg.ray_depth, cfg.spp
+    jitter = cfg.jitter
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -225,14 +228,15 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
                 from ..kernels.trace_grad import trace_diff
                 res = trace_diff(scene, inv_proj, inv_view, frame_eff,
                                  focal, aperture, y0, width, height,
-                                 ray_depth, spp, c, rows_local)
+                                 ray_depth, spp, c, rows_local, jitter)
                 acc = acc + apply_environment_blocked(res, env, spp)
             else:
                 scan = make_scene_scan_fn(scene, counts=c)
                 gather = make_xla_gather_fn(scene)
                 cam = camera_params(inv_proj, inv_view, focal, aperture)
                 res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
-                                  width, height, frame_eff, ray_depth, spp)
+                                  width, height, frame_eff, ray_depth, spp,
+                                  jitter=jitter)
                 acc = acc + apply_environment(res, env, spp)
         acc = jax.lax.psum(acc, "sp") / np.float32(groups)
 

@@ -108,13 +108,30 @@ def make_host_mesh(sp: int = 1, devices=None) -> Mesh:
     sample groups stays on ICI; only dp-axis reductions (scalar ray counts,
     parameter gradients) cross DCN.
     """
-    devices = list(devices if devices is not None else jax.devices())
+    explicit = devices is not None
+    devices = list(devices) if explicit else list(jax.devices())
     n = len(devices)
-    per_host = max(len(jax.local_devices()), 1) if devices is None else n // max(jax.process_count(), 1)
+    if explicit:
+        # group explicit lists by their actual owning process, not by
+        # process-count division: a heterogeneous hand-picked list (e.g. 3
+        # chips from host A + 1 from host B) must not silently pass the
+        # ICI-containment check below
+        from collections import Counter
+        owners = Counter(getattr(d, "process_index", 0) for d in devices)
+        per_host = min(owners.values())
+        if len(set(owners.values())) > 1 and sp > 1:
+            raise ValueError(
+                f"explicit device list is host-imbalanced {dict(owners)}; "
+                "sp>1 needs equal chips per host so sample-group psums "
+                "stay on ICI")
+    else:
+        per_host = max(len(jax.local_devices()), 1)
     per_host = per_host or n
     if sp <= 0 or n % sp:
         raise ValueError(f"sp={sp} must divide {n} devices")
-    if jax.process_count() > 1 and per_host % sp:
+    n_hosts = (len({getattr(d, "process_index", 0) for d in devices})
+               if explicit else jax.process_count())
+    if n_hosts > 1 and per_host % sp:
         raise ValueError(
             f"sp={sp} must divide the per-host device count {per_host} so "
             "sample-group psums stay on ICI")
