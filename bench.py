@@ -45,7 +45,11 @@ def main() -> int:
     focal = jnp.float32(cam.focal_length)
     aperture = jnp.float32(cam.aperture_diameter)
 
-    CHUNK = 10
+    # 30-frame fused blocks: the axon tunnel costs ~40 ms of host roundtrip
+    # per sync (measured benchmarks/exp_env_fetch.py) — at CHUNK=10 that
+    # inflated the per-frame figure ~10%; 30 amortizes it to ~3% while
+    # keeping the same per-block sync discipline
+    CHUNK = 30
 
     def block(accum, frame0):
         return progressive_frames(

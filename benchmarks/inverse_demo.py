@@ -27,9 +27,11 @@ sys.path.insert(0, ".")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--size", default="256x256")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--size", default="512x512")
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--grad-frames", type=int, default=1,
+                    help="independent RNG frames averaged per gradient step")
     ap.add_argument("--out", default="artifacts/inverse_demo.json")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
@@ -80,16 +82,29 @@ def main() -> int:
 
     # Adam: per-parameter scaling makes the recovery robust to the orders-
     # of-magnitude spread between albedo and emissive gradients (plain SGD
-    # needs a per-lane lr and diverges otherwise)
+    # needs a per-lane lr and diverges otherwise).  Constant lr for the
+    # first 60% (coverage: every sphere needs enough visits), cosine decay
+    # to ~0 after (the final MAE floor tracks lr x gradient noise).
     import optax
-    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.05))
+    sched = optax.join_schedules(
+        [optax.constant_schedule(args.lr),
+         optax.cosine_decay_schedule(args.lr, max(args.steps * 2 // 5, 1),
+                                     0.01)],
+        [max(args.steps * 3 // 5, 1)])
+    opt = optax.adam(sched)
 
     @jax.jit
     def step(params, opt_state, frame, target):
         def loss_fn(p):
-            img = render(p[0], p[1], frame)
-            err = img - target
-            return jnp.mean(err * err)
+            # average the pixel-MSE over --grad-frames independent RNG
+            # streams: each frame is a fresh Monte-Carlo draw (progressive-
+            # rendering style), so the gradient noise drops ~1/sqrt(F)
+            total = jnp.float32(0.0)
+            for f in range(args.grad_frames):
+                img = render(p[0], p[1], frame * args.grad_frames + f)
+                err = img - target[f]
+                total = total + jnp.mean(err * err)
+            return total / args.grad_frames
         loss, (gs, gc) = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update((gs * mask_s, gc * mask_c), opt_state)
         params = optax.apply_updates(params, updates)
@@ -110,7 +125,8 @@ def main() -> int:
     opt_state = opt.init(params)
     for i in range(args.steps):
         frame = jnp.int32(i)
-        tgt = target_frame(frame)
+        tgt = jnp.stack([target_frame(jnp.int32(i * args.grad_frames + f))
+                         for f in range(args.grad_frames)])
         params, opt_state, loss = step(params, opt_state, frame, tgt)
         if i % 20 == 0 or i == args.steps - 1:
             losses.append(float(loss))

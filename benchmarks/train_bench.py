@@ -8,7 +8,10 @@ material tables) of a pixel-MSE loss on the demo scene:
            (tpt.parallel.make_train_step backend='oracle')
 
 Usage: python benchmarks/train_bench.py [kernel|oracle] [--size WxH]
+       [--out artifacts/train_bench.json]
 """
+import json
+import os
 import sys
 import time
 
@@ -20,9 +23,12 @@ sys.path.insert(0, ".")
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "kernel"
     size = "1920x1080"
+    out = None
     for a in sys.argv[2:]:
         if a.startswith("--size"):
             size = a.split("=")[1]
+        if a.startswith("--out"):
+            out = a.split("=")[1]
     width, height = map(int, size.split("x"))
 
     import jax
@@ -76,8 +82,20 @@ def main() -> int:
             params, loss = step(params, jnp.int32(i + 1))
             _ = float(loss)
             ts.append(time.time() - t0)
-        print(f"kernel bwd step: {np.median(ts)*1e3:.1f} ms median "
+        med_ms = float(np.median(ts)) * 1e3
+        print(f"kernel bwd step: {med_ms:.1f} ms median "
               f"(loss {float(loss):.5f})", flush=True)
+        if out:
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            with open(out, "w") as f:
+                json.dump({
+                    "metric": "train_step_1080p_kernel",
+                    "size": size, "ray_depth": ray_depth, "spp": spp,
+                    "median_step_ms": round(med_ms, 1),
+                    "loss_last": float(loss),
+                    "config": "Pallas fwd + in-kernel reverse-sweep bwd + "
+                              "SGD on material tables, demo scene",
+                }, f, indent=1)
     else:
         from tpt.parallel import make_dist_renderer, make_mesh, make_train_step
         from tpt.config import RenderConfig

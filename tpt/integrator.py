@@ -244,44 +244,103 @@ def build_attr_table(scene, counts: Tuple[int, int]):
 
 
 @jax.custom_vjp
-def _onehot_rows(table, oh):
-    """rows[..., k] = sum_r oh[..., r] * table[r, k] — the MXU gather.
+def _onehot_cols(table_t, oh):
+    """attrs_t[k, *batch] = sum_r table_t[k, r] * oh[*batch, r] — the MXU
+    gather, ATTRIBUTE-MAJOR.
 
-    The autodiff transpose of this dot_general is not Mosaic-lowerable, so
-    the backward is hand-phrased as per-sublane [L, R] x [L, K] contractions
-    over the leading batch dim (benchmarks/exp_bwd_probes.py p8).
+    The attribute-major orientation is the layout-critical choice on TPU:
+    every attribute channel attrs_t[k] comes out as a native (sublane, lane)
+    tile slice along the LEADING axis — free to consume — where the r3
+    row-major form attrs[..., k] lane-sliced a minor-dim-24 array (a
+    cross-lane relayout per channel, ~24 per bounce: the dominant cost of
+    the r3 backward's sweeps).  The hand-written transpose is likewise ONE
+    [K, B] x [B, R] MXU contraction (the r3 form looped 8 small serialized
+    matmuls per bounce), and the d_table_t accumulator [K, 128] has a
+    native 128-lane minor dim.
 
     Precision HIGHEST: the default f32 matmul truncates operands to bf16 on
     the MXU; one-hot operands would round the gathered winner attributes and
     break the bit-identical-primal invariant of make_onehot_trace_fn."""
     nb = oh.ndim - 1
-    return jax.lax.dot_general(oh, table, (((nb,), (0,)), ((), ())),
+    return jax.lax.dot_general(table_t, oh, (((1,), (nb,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _onehot_rows_fwd(table, oh):
-    return _onehot_rows(table, oh), oh
+def _onehot_cols_fwd(table_t, oh):
+    return _onehot_cols(table_t, oh), oh
 
 
-def _onehot_rows_bwd(oh, g):
-    oh2 = oh.reshape((-1,) + oh.shape[-2:])     # [B, L, R]
-    g2 = g.reshape((-1,) + g.shape[-2:])        # [B, L, K]
-    d = jnp.zeros((oh.shape[-1], g.shape[-1]), jnp.float32)
-    for i in range(oh2.shape[0]):
-        d = d + jax.lax.dot_general(oh2[i], g2[i], (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGHEST)
+def _onehot_cols_bwd(oh, g):
+    # g: [K, *batch]; d_table_t[k, r] = sum_b g[k, b] * oh[b, r] — one MXU
+    # contraction over the flattened batch
+    b = int(np.prod(oh.shape[:-1]))
+    oh2 = oh.reshape(b, oh.shape[-1])           # [B, R]
+    g2 = g.reshape(g.shape[0], b)               # [K, B]
+    d = jax.lax.dot_general(g2, oh2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return d, jnp.zeros_like(oh)
 
 
-_onehot_rows.defvjp(_onehot_rows_fwd, _onehot_rows_bwd)
+_onehot_cols.defvjp(_onehot_cols_fwd, _onehot_cols_bwd)
+
+
+def onehot_hit_trace(table_t, num_spheres: int, origin, direction, idx, inside):
+    """Differentiable winner evaluation from a PRECOMPUTED (detached) hit
+    record: MXU one-hot gather for the winner attributes and the winning
+    intersection distance *recomputed* from the gathered geometry.
+
+    ``table_t``: the TRANSPOSED attr table f32[ATTR_COLS, ATTR_ROWS]
+    (attribute-major — see _onehot_cols for why this layout is the fast
+    one); ``idx``: the closest-hit fold's winner index (i32; -1 = miss, so
+    found == idx >= 0 — the fold initializes idx to -1 and writes it on
+    every accepted candidate); ``inside``: the fold's inside flag.
+    Splitting the fold out lets the backward kernel run it ONCE per bounce
+    in its forward sweep, store the 1-int hit record, and replay both
+    sweeps without re-folding all primitives (the r3 backward re-ran the
+    fold under jax.vjp in every reverse step).
+
+    Primal values are bit-identical to compose_trace_fn(scan, gather): the
+    recomputed t applies the same intersector to the same winner values."""
+    found = idx >= 0
+    is_sphere = found & (idx < MAX_SPHERES)
+    row = jnp.where(idx < 0, -1,
+                    jnp.where(is_sphere, idx, idx - MAX_SPHERES + num_spheres))
+    oh = (row[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, row.shape + (ATTR_ROWS,), row.ndim)).astype(jnp.float32)
+    attrs_t = _onehot_cols(table_t, jax.lax.stop_gradient(oh))
+
+    # attribute channels are leading-axis slices — native tiles, no
+    # cross-lane extraction
+    center = attrs_t[0:3]
+    radius = attrs_t[3]
+    cmin = attrs_t[4:7]
+    cmax = attrs_t[7:10]
+    mat = attrs_t[10:24]
+
+    # Recompute the winning t differentiably (one intersector per lane).
+    # Gradient hygiene: axis-parallel rays give ray_cuboid infinite
+    # partials (1/d); neutralize the direction on lanes whose winner is
+    # not a cuboid so 0-cotangent x inf can't NaN the transpose.
+    use_cub = found & ~is_sphere
+    dir_c = where3(use_cub, direction, direction * 0.0 + 1.0)
+    t1s, t2s, _oks = ray_sphere(origin, direction, center,
+                                jnp.maximum(radius, EPS))
+    t1c, t2c, _okc = ray_cuboid(origin, dir_c, cmin, cmax)
+    t1 = jnp.where(is_sphere, t1s, t1c)
+    t2 = jnp.where(is_sphere, t2s, t2c)
+    t = smallest_positive(t1, t2)
+
+    winner = Winner(material=mat, sphere_center=center,
+                    sphere_radius=radius, cuboid_min=cmin,
+                    cuboid_max=cmax, is_sphere=is_sphere)
+    return found, t, inside, winner
 
 
 def make_onehot_trace_fn(scan_fn: ScanFn, table, num_spheres: int) -> TraceFn:
     """Differentiable closest-hit trace: detached scan fold for the winner
-    index, MXU one-hot gather for the winner attributes, and the winning
-    intersection distance *recomputed* from the gathered geometry.
+    index, then :func:`onehot_hit_trace` for the attributes and t.
 
     This is the TPU-native formulation of differentiable closest-hit: the
     discrete argmin is detached (standard detached-decision estimator), the
@@ -290,47 +349,16 @@ def make_onehot_trace_fn(scan_fn: ScanFn, table, num_spheres: int) -> TraceFn:
     parameter cotangents with MXU contractions instead of 55 x 24 masked
     lane reductions.
 
-    Primal values are bit-identical to compose_trace_fn(scan, gather): the
-    recomputed t applies the same intersector to the same winner values.
     ``table``: build_attr_table output; ``num_spheres``: static count used
     in the fold's index encoding."""
 
+    table_t = table.T  # attribute-major (one cheap XLA transpose per trace)
+
     def trace(origin, direction):
-        found, idx, _t_fold, inside = scan_fn(
+        _found, idx, _t_fold, inside = scan_fn(
             jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction))
-        is_sphere = (idx >= 0) & (idx < MAX_SPHERES)
-        row = jnp.where(idx < 0, -1,
-                        jnp.where(is_sphere, idx, idx - MAX_SPHERES + num_spheres))
-        oh = (row[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, row.shape + (ATTR_ROWS,), row.ndim)).astype(jnp.float32)
-        attrs = _onehot_rows(table, jax.lax.stop_gradient(oh))
-
-        def ch(k):
-            return attrs[..., k]
-
-        center = jnp.stack([ch(0), ch(1), ch(2)])
-        radius = ch(3)
-        cmin = jnp.stack([ch(4), ch(5), ch(6)])
-        cmax = jnp.stack([ch(7), ch(8), ch(9)])
-        mat = jnp.stack([ch(10 + k) for k in range(14)])
-
-        # Recompute the winning t differentiably (one intersector per lane).
-        # Gradient hygiene: axis-parallel rays give ray_cuboid infinite
-        # partials (1/d); neutralize the direction on lanes whose winner is
-        # not a cuboid so 0-cotangent x inf can't NaN the transpose.
-        use_cub = found & ~is_sphere
-        dir_c = where3(use_cub, direction, direction * 0.0 + 1.0)
-        t1s, t2s, _oks = ray_sphere(origin, direction, center,
-                                    jnp.maximum(radius, EPS))
-        t1c, t2c, _okc = ray_cuboid(origin, dir_c, cmin, cmax)
-        t1 = jnp.where(is_sphere, t1s, t1c)
-        t2 = jnp.where(is_sphere, t2s, t2c)
-        t = smallest_positive(t1, t2)
-
-        winner = Winner(material=mat, sphere_center=center,
-                        sphere_radius=radius, cuboid_min=cmin,
-                        cuboid_max=cmax, is_sphere=is_sphere)
-        return found, t, inside, winner
+        return onehot_hit_trace(table_t, num_spheres, origin, direction,
+                                idx, inside)
 
     return trace
 

@@ -5,13 +5,15 @@ Pallas trace kernel (tpt.kernels.trace), the backward is a second Pallas
 kernel (``pallas_trace_grad``) that re-runs the tile's transport and
 transposes it with a HAND-WRITTEN reverse sweep:
 
-  * forward sweep: a rolled ``fori_loop`` re-runs the bounce chain with the
-    one-hot differentiable formulation (tpt.integrator.make_onehot_trace_fn)
-    and stores each bounce's INPUT carry (origin/direction/throughput/
-    miss fields/seed/alive) into VMEM scratch — ~90 KB per bounce per
-    (8, 128) tile, ~1.2 MB at depth 13;
-  * reverse sweep: a second rolled ``fori_loop`` walks the bounces
-    backwards; each step re-traces ONE bounce from its stored carry under
+  * forward sweep: an unrolled walk re-runs the bounce chain, running the
+    closest-hit fold ONCE per bounce, and stores each bounce's INPUT carry
+    (origin/direction/throughput/miss fields/seed/alive) PLUS the fold's
+    1-int hit record (winner index + inside flag) into VMEM scratch —
+    ~90 KB per bounce per (8, 128) tile, ~1.2 MB at depth 13;
+  * reverse sweep: a rolled ``fori_loop`` walks the bounces backwards;
+    each step re-evaluates ONE bounce from its stored carry + hit record
+    (tpt.integrator.onehot_hit_trace — NO re-fold: the 55-primitive scan
+    prices in once per bounce total, like the production forward) under
     ``jax.vjp`` and transposes it, accumulating the attr-table cotangent
     and carrying the state cotangent — per-bounce rematerialization with
     none of jax's remat machinery (``jax.checkpoint`` lowers to
@@ -22,12 +24,15 @@ transposes it with a HAND-WRITTEN reverse sweep:
     (tpt.integrator.primary_ray — shared with trace_paths, so both paths
     linearize at the same primal) is vjp'd separately per sample, fed by
     the reverse sweep's origin/direction cotangents at bounce 0;
-  * winner attributes flow through an MXU one-hot matmul whose hand-phrased
-    transpose is also an MXU contraction (tpt.integrator._onehot_rows), so
-    parameter cotangents accumulate at matmul speed instead of per-primitive
-    masked lane reductions;
+  * winner attributes flow through an ATTRIBUTE-MAJOR MXU one-hot matmul
+    (tpt.integrator._onehot_cols): every attribute channel is a leading-
+    axis native-tile slice (the row-major r3 form lane-sliced a
+    minor-dim-24 array — ~24 cross-lane relayouts per bounce, the dominant
+    sweep cost), and the hand-phrased transpose is ONE [K, B] x [B, R]
+    MXU contraction per bounce;
   * parameter cotangents accumulate across grid steps into a
-    constant-index output block (d_table f32[128, 24]) and SMEM scalars
+    constant-index output block (d_table_t f32[24, 128] — native lane
+    width) and SMEM scalars
     (d_cam, 20 camera/lens entries); the Pallas TPU grid is sequential, so
     read-modify-write accumulation is race-free;
   * RNG is recomputed bit-identically from (px, py, frame) — no stored
@@ -67,15 +72,21 @@ from .. import rng
 from ..config import MAX_SPHERES
 from ..integrator import (ATTR_COLS, ATTR_ROWS, CameraParams, PathState,
                           TraceResult, bounce_step, build_attr_table,
-                          make_onehot_trace_fn, primary_ray, sample_draws)
+                          onehot_hit_trace, primary_ray, sample_draws)
 from ..ops.intersect import FLOAT_MAX, ray_cuboid, ray_sphere, smallest_positive
 from .trace import DEFAULT_UNROLL, LANES, _scene_smem_arrays, _use_interpret
 
-# Backward tiles default to 8 rows (vs 16 forward): the per-bounce
-# linearization roughly doubles live VMEM.
-DEFAULT_GRAD_TILE_ROWS = 8
+# Backward tiles match the forward's 16 rows: with the attribute-major
+# one-hot layout the transposed bounce fits comfortably (r4 bisect:
+# 94.5 ms vs 99.3 ms at 8 rows for the full 1080p backward;
+# benchmarks/exp_bwd_bisect.py).
+DEFAULT_GRAD_TILE_ROWS = 16
 
 N_CAM = 20  # ip00,ip01,ip02,ip10,ip11,ip12, right, up, backward, eye, focal, aperture
+
+# When True, every pallas_trace_grad call logs how many non-finite parameter
+# cotangent entries its finite filter zeroed (see the filter's comment).
+NONFINITE_DEBUG = False
 
 
 def make_value_scan_fold(sphere_vals, cuboid_vals):
@@ -129,9 +140,11 @@ def make_value_scan_fold(sphere_vals, cuboid_vals):
 def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                  table_ref, px_ref, py_ref, grad_ref, gmissd_ref, gmisst_ref,
                  dtable_ref, dcam_ref,
-                 s_orig, s_dir, s_thr, s_md, s_mt, s_seed, s_alive, s_dtbl,
+                 s_orig, s_dir, s_thr, s_md, s_mt, s_seed, s_alive,
+                 s_widx, s_ins, s_dtbl,
                  *, width: int, height: int, ray_depth: int, spp: int,
-                 counts: Tuple[int, int], unroll: int, jitter: str):
+                 counts: Tuple[int, int], unroll: int, jitter: str,
+                 ablate: str = "none"):
     num_spheres, num_cuboids = counts
     frame = frame_ref[0]
     del unroll  # the value fold is a static Python unroll
@@ -143,15 +156,23 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                         for i in range(num_spheres))
     cuboid_vals = tuple(tuple(cuboid_geom_ref[j, k] for k in (0, 1, 2, 4, 5, 6))
                         for j in range(num_cuboids))
+    fold = make_value_scan_fold(sphere_vals, cuboid_vals)
 
-    def bounce_fn(tbl, st):
-        fold = make_value_scan_fold(sphere_vals, cuboid_vals)
-        return bounce_step(st, make_onehot_trace_fn(fold, tbl, num_spheres))
+    def bounce_from_hit(tbl_t, st, idx, inside):
+        """One bounce evaluated from a precomputed hit record: the fold
+        (55 intersectors, detached) runs ONCE per bounce in the forward
+        sweep; both the stored-carry replay and the reverse transpose
+        consume the 1-int record instead of re-folding — the r4 fix for
+        the r3 backward's ~70x-forward step time.  ``tbl_t`` is the
+        attribute-major table (see integrator._onehot_cols)."""
+        trace = lambda o, d: onehot_hit_trace(tbl_t, num_spheres, o, d,
+                                              idx, inside)
+        return bounce_step(st, trace)
 
     px = px_ref[:]
     py = py_ref[:]
     cam_vals = tuple(cam_ref[k] for k in range(N_CAM))
-    table = table_ref[:]
+    table_t = table_ref[:]          # [ATTR_COLS, ATTR_ROWS] attribute-major
     g_rad = grad_ref[:]
 
     fpx = jnp.asarray(px, jnp.float32)
@@ -171,7 +192,7 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                             backward=(bx, by, bz), eye=(ex, ey, ez),
                             focal_length=focal, aperture_diameter=aperture)
 
-    d_table_total = table * 0.0
+    d_table_total = table_t * 0.0
     d_cam_total = tuple(cam_vals[k] * 0.0 for k in range(N_CAM))
 
     for s in range(spp):
@@ -203,6 +224,10 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         # dead, later bounces are skipped exactly like the forward kernel
         # (a dead bounce is the identity, so the stored carries stay valid
         # and the reverse sweep sees identity vjps for those js).
+        # The closest-hit fold runs HERE ONLY — its winner index + inside
+        # flag are stored per bounce (s_widx/s_ins) and replayed by the
+        # reverse sweep, so the 55-primitive scan prices in once per bounce
+        # exactly like the production forward kernel.
         for k in range(ray_depth):
             s_orig[k] = state.origin
             s_dir[k] = state.direction
@@ -211,12 +236,21 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
             s_mt[k] = state.miss_thr
             s_seed[k] = state.seed
             s_alive[k] = state.alive
+
+            def fwd_bounce(st, k=k):
+                _f, idx, _t, inside = fold(st.origin, st.direction)
+                s_widx[k] = idx
+                s_ins[k] = inside.astype(jnp.int32)
+                return bounce_from_hit(table_t, st, idx, inside)
+
             if k == 0:
-                state = bounce_fn(table, state)
+                state = fwd_bounce(state)
             else:
+                # the skipped branch leaves s_widx/s_ins[k] stale — safe:
+                # the reverse sweep's all-dead cond (on s_alive[k], written
+                # unconditionally above) never reads them
                 state = jax.lax.cond(jnp.any(state.alive != 0),
-                                     lambda st: bounce_fn(table, st),
-                                     lambda st: st, state)
+                                     fwd_bounce, lambda st: st, state)
         seed = state.seed
         ray_count = state.ray_count
 
@@ -227,32 +261,51 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         # the whole loop body — compile time is depth-independent.
         g_md = gmissd_ref[s]
         g_mt = gmisst_ref[s]
-        s_dtbl[:] = table * 0.0
+        s_dtbl[:] = table_t * 0.0
+
+        def rev_body_primal(k, carry):
+            # ablation: reverse walk re-running the bounce primal only
+            j = ray_depth - 1 - k
+            st = PathState(origin=s_orig[j], direction=s_dir[j],
+                           throughput=s_thr[j], radiance=s_orig[j] * 0.0,
+                           seed=s_seed[j], alive=s_alive[j],
+                           miss_dir=s_md[j], miss_thr=s_mt[j],
+                           ray_count=s_alive[j] * 0)
+            out = jax.lax.cond(jnp.any(s_alive[j] != 0),
+                               lambda st: bounce_from_hit(table_t, st,
+                                                          s_widx[j],
+                                                          s_ins[j] != 0),
+                               lambda st: st, st)
+            d_o, d_d, d_th, d_md, d_mt = carry
+            return (d_o + out.origin * 1e-30, d_d + out.direction * 1e-30,
+                    d_th, d_md, d_mt)
 
         def rev_body(k, carry):
             j = ray_depth - 1 - k
             o_j, dir_j, th_j = s_orig[j], s_dir[j], s_thr[j]
             md_j, mt_j = s_md[j], s_mt[j]
             seed_j, alive_j = s_seed[j], s_alive[j]
+            idx_j, ins_j = s_widx[j], s_ins[j]
 
             def transpose_bounce(carry):
                 d_o, d_d, d_th, d_md, d_mt = carry
 
-                def b(tbl, o, dr, th, md, mt):
+                def b(tbl_t, o, dr, th, md, mt):
                     st = PathState(origin=o, direction=dr, throughput=th,
                                    radiance=o * 0.0, seed=seed_j,
                                    alive=alive_j, miss_dir=md, miss_thr=mt,
                                    ray_count=alive_j * 0)
-                    out = bounce_fn(tbl, st)
+                    out = bounce_from_hit(tbl_t, st, idx_j, ins_j != 0)
                     return (out.origin, out.direction, out.throughput,
                             out.radiance, out.miss_dir, out.miss_thr)
 
-                _, vjp = jax.vjp(b, table, o_j, dir_j, th_j, md_j, mt_j)
+                _, vjp = jax.vjp(b, table_t, o_j, dir_j, th_j, md_j, mt_j)
                 # radiance accumulates additively across bounces, so its
                 # cotangent is the constant g_rad at every bounce
                 dt, do, dd, dth, dmd, dmt = vjp((d_o, d_d, d_th, g_rad,
                                                  d_md, d_mt))
-                s_dtbl[:] += dt
+                if ablate != "nodtbl":
+                    s_dtbl[:] += dt
                 return (do, dd, dth, dmd, dmt)
 
             # a bounce whose input tile was all-dead is the identity: its
@@ -262,8 +315,12 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                                 transpose_bounce, lambda c: c, carry)
 
         init = (zero_v3, zero_v3, zero_v3, g_md, g_mt)
-        d_o0, d_d0, _d_th, _d_md, _d_mt = jax.lax.fori_loop(
-            0, ray_depth, rev_body, init)
+        if ablate == "norev":
+            d_o0, d_d0 = zero_v3, zero_v3
+        else:
+            body = rev_body_primal if ablate == "primalonly" else rev_body
+            d_o0, d_d0, _d_th, _d_md, _d_mt = jax.lax.fori_loop(
+                0, ray_depth, body, init)
 
         (d_cam_s,) = ray_vjp((d_o0, d_d0))
         d_table_total = d_table_total + s_dtbl[:]
@@ -283,7 +340,7 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
                                              "counts", "unroll", "n_rows",
-                                             "jitter"))
+                                             "jitter", "ablate"))
 def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       aperture_diameter, g_rad, g_missd, g_misst,
                       *, width: int, height: int, ray_depth: int, spp: int,
@@ -292,7 +349,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       interpret: bool | None = None,
                       unroll: int = DEFAULT_UNROLL,
                       n_rows: int | None = None, row0=0,
-                      jitter: str = "corner"):
+                      jitter: str = "corner", ablate: str = "none"):
     """Cotangents of pallas_trace's differentiable outputs.
 
     ``g_rad``: f32[3, n_rows, width]; ``g_missd``/``g_misst``:
@@ -342,6 +399,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
 
     table, table_vjp = jax.vjp(
         lambda s: build_attr_table(s, counts), scene)
+    table_t = table.T    # attribute-major for the kernel (_onehot_cols)
 
     sphere_geom, _sphere_mat, cuboid_geom, _cuboid_mat = _scene_smem_arrays(scene)
     frame_arr = jnp.asarray(frame, jnp.int32).reshape(1)
@@ -353,7 +411,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                              memory_space=pltpu.VMEM)
     miss_spec = pl.BlockSpec((spp, 3, tile_rows, LANES),
                              lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((ATTR_ROWS, ATTR_COLS), lambda i: (0, 0),
+    table_spec = pl.BlockSpec((ATTR_COLS, ATTR_ROWS), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
 
     v3_scr = pltpu.VMEM((ray_depth, 3, tile_rows, LANES), jnp.float32)
@@ -361,7 +419,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
 
     kernel = functools.partial(_grad_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp, counts=counts,
-                               unroll=unroll, jitter=jitter)
+                               unroll=unroll, jitter=jitter, ablate=ablate)
     d_table, d_cam = pl.pallas_call(
         kernel,
         grid=grid,
@@ -369,19 +427,22 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                   tile_spec, tile_spec, vec3_spec, miss_spec, miss_spec],
         out_specs=(table_spec, smem()),
         out_shape=(
-            jax.ShapeDtypeStruct((ATTR_ROWS, ATTR_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((ATTR_COLS, ATTR_ROWS), jnp.float32),
             jax.ShapeDtypeStruct((N_CAM,), jnp.float32),
         ),
         scratch_shapes=[v3_scr, v3_scr, v3_scr, v3_scr, v3_scr,
                         lane_scr(jnp.uint32), lane_scr(jnp.int32),
-                        pltpu.VMEM((ATTR_ROWS, ATTR_COLS), jnp.float32)],
+                        lane_scr(jnp.int32), lane_scr(jnp.int32),
+                        pltpu.VMEM((ATTR_COLS, ATTR_ROWS), jnp.float32)],
         # the transposed bounce body's live set exceeds the 16M default
-        # scoped-vmem cap; v5e has 128M physical VMEM per core
+        # scoped-vmem cap; v5e has 128M physical VMEM per core (16-row
+        # tiles measured 122M under the r3 layout — cap near the ceiling)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(frame_arr, cam20, sphere_geom, cuboid_geom, table, px, py,
+    )(frame_arr, cam20, sphere_geom, cuboid_geom, table_t, px, py,
       g_rad, g_missd, g_misst)
+    d_table = d_table.T  # back to the build_attr_table row-major layout
 
     # Finite filter: rare degenerate lane configurations (observed ~1 pixel
     # per few frames at 1080p) can emit a non-finite parameter cotangent,
@@ -389,7 +450,17 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     # table column.  Zero the offending entries — the standard
     # differentiable-rendering treatment of measure-zero gradient events
     # (the estimator is already biased at decision boundaries; dropping a
-    # measure-zero set changes nothing in expectation).
+    # measure-zero set changes nothing in expectation).  The masked count
+    # stays observable (a systematic NaN regression must not hide as
+    # silently-zeroed gradients): set NONFINITE_DEBUG=True to log it per
+    # call; a count above the measure-zero scale (> ~ATTR_COLS entries, one
+    # poisoned table column) indicates a backward-kernel bug, not noise.
+    n_bad = (jnp.sum(~jnp.isfinite(d_table)).astype(jnp.int32)
+             + jnp.sum(~jnp.isfinite(d_cam)).astype(jnp.int32))
+    if NONFINITE_DEBUG:
+        jax.debug.print(
+            "pallas_trace_grad: zeroed {n} non-finite cotangent entries",
+            n=n_bad)
     d_table = jnp.where(jnp.isfinite(d_table), d_table, 0.0)
     d_cam = jnp.where(jnp.isfinite(d_cam), d_cam, 0.0)
     (d_scene,) = table_vjp(d_table)
