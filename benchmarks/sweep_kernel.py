@@ -6,12 +6,18 @@ Mrays/s.  Used to pick DEFAULT_TILE_ROWS / DEFAULT_UNROLL in tpt.kernels.trace.
 """
 
 import argparse
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 
+from tpt.utils import enable_persistent_cache
+enable_persistent_cache()
 from tpt import CameraConfig, demo_scene
 from tpt.camera import camera_matrices
 from tpt.env import constant_environment
@@ -29,21 +35,21 @@ def run_variant(scene, inv_proj, inv_view, cam, width, height,
                            tile_rows=tile_rows, counts=counts, unroll=unroll)
         return res.radiance, jnp.sum(res.ray_count)
 
+    # sync by fetching the scalar ray count: under the axon tunnel
+    # jax.block_until_ready does NOT wait for device completion
     t0 = time.time()
     rad, rays = frame(0)
-    rad.block_until_ready()
+    _ = int(rays)
     compile_s = time.time() - t0
-    # warm
     for i in range(2):
         rad, rays = frame(i + 1)
-        rad.block_until_ready()
+        _ = int(rays)
     times, counts_l = [], []
     for i in range(reps):
         t0 = time.time()
         rad, rays = frame(i + 3)
-        rad.block_until_ready()
-        times.append(time.time() - t0)
         counts_l.append(int(rays))
+        times.append(time.time() - t0)
     med = float(np.median(times))
     mrays = float(np.mean(counts_l)) / med / 1e6
     return compile_s, med * 1e3, mrays
@@ -61,10 +67,14 @@ def main():
     inv_proj, inv_view, _ = camera_matrices(cam, args.width, args.height)
 
     variants = []
-    for tr in ([8, 16, 32] if args.quick else [8, 16, 32, 64]):
-        variants.append((tr, 0, None))
-        variants.append((tr, 0, (48, 7)))
-        variants.append((tr, 1, (48, 7)))
+    if args.quick:
+        for tr in [8, 16, 24, 32]:
+            variants.append((tr, 1, (48, 7)))
+    else:
+        for tr in [8, 16, 24, 32, 64]:
+            variants.append((tr, 0, None))
+            variants.append((tr, 0, (48, 7)))
+            variants.append((tr, 1, (48, 7)))
 
     print(f"{'tile':>4} {'unroll':>6} {'counts':>8} {'compile_s':>9} "
           f"{'ms/frame':>9} {'Mrays/s':>8}")

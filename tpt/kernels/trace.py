@@ -35,15 +35,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MAX_SPHERES, MAX_CUBOIDS
-from ..integrator import CameraParams, TraceResult, Winner, trace_paths
+from ..integrator import (ATTR_COLS, ATTR_ROWS, CameraParams, TraceResult,
+                          Winner, build_attr_table, trace_paths)
 from ..ops.intersect import (FLOAT_MAX, ray_cuboid, ray_sphere,
                              smallest_positive)
 
 LANES = 128
-# (16, 128) pixel tiles won a 1080p sweep over {8, 16, 32, 64} rows
-# (benchmarks/sweep_kernel.py); unroll=1 means "fully unroll the primitive
-# loops when counts are static" (Mosaic supports only full/none).
-DEFAULT_TILE_ROWS = 16
+# (24, 128) pixel tiles won the r4 1080p sweep over {8, 16, 24, 32} rows
+# (benchmarks/sweep_kernel.py --quick, tunnel-aware sync; Pallas requires
+# sublane blocks divisible by 8, so 20/28 are not lowerable); unroll=1
+# means "fully unroll the primitive loops when counts are static" (Mosaic
+# supports only full/none).
+DEFAULT_TILE_ROWS = 24
 DEFAULT_UNROLL = 1
 
 
@@ -109,7 +112,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             rad_ref, missd_ref, misst_ref, rays_ref, seed_ref,
             *, width: int, height: int, ray_depth: int, spp: int,
             counts: Tuple[int, int] | None, unroll: int,
-            jitter: str = "corner"):
+            jitter: str = "corner", gather: str = "select",
+            table_t_ref=None):
     # Static counts (the fast path) bake the primitive-loop trip counts into
     # the program so Mosaic can unroll them, hoisting the per-iteration SMEM
     # scalar reads and loop control off the critical path.  Dynamic counts
@@ -150,6 +154,45 @@ def _kernel(counts_ref, frame_ref, cam_ref,
 
     fold = make_smem_scan_fold(sphere_geom_ref, cuboid_geom_ref,
                                num_spheres, num_cuboids, loop)
+
+    if gather == "onehot":
+        # winner attributes via the attribute-major one-hot MXU matmul
+        # (tpt.integrator._onehot_cols layout): one [K, R] x [R, B]
+        # contraction replaces the 55-iteration masked-select loops.  The
+        # matmul is exact — each output sums one f32 value and zeros at
+        # HIGHEST precision — so results stay bit-identical to the select
+        # gather (asserted by the kernel-vs-oracle suite either way).
+        table_t = table_t_ref[:]
+
+        def kernel_trace(origin, direction):
+            found, best_idx, best_t, inside_b = fold(origin, direction)
+            is_sphere = (best_idx >= 0) & (best_idx < MAX_SPHERES)
+            row = jnp.where(best_idx < 0, -1,
+                            jnp.where(is_sphere, best_idx,
+                                      best_idx - MAX_SPHERES + num_spheres))
+            oh = (row[..., None] == jax.lax.broadcasted_iota(
+                jnp.int32, row.shape + (ATTR_ROWS,), row.ndim)
+                ).astype(jnp.float32)
+            attrs_t = jax.lax.dot_general(
+                table_t, oh, (((1,), (oh.ndim - 1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            winner = Winner(material=attrs_t[10:24],
+                            sphere_center=attrs_t[0:3],
+                            sphere_radius=attrs_t[3],
+                            cuboid_min=attrs_t[4:7],
+                            cuboid_max=attrs_t[7:10],
+                            is_sphere=is_sphere)
+            return found, best_t, inside_b, winner
+
+        res = trace_paths(kernel_trace, cam, px_ref[:], py_ref[:],
+                          width, height, frame, ray_depth, spp, jitter=jitter)
+        rad_ref[:] = res.radiance
+        missd_ref[:] = res.miss_dir
+        misst_ref[:] = res.miss_thr
+        rays_ref[:] = res.ray_count
+        seed_ref[:] = res.seed
+        return
 
     def kernel_trace(origin, direction):
         batch = origin.shape[1:]
@@ -227,7 +270,7 @@ def _use_interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
                                              "counts", "unroll", "n_rows",
-                                             "jitter"))
+                                             "jitter", "gather"))
 def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diameter,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  tile_rows: int = DEFAULT_TILE_ROWS,
@@ -235,7 +278,8 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
                  counts: Tuple[int, int] | None = None,
                  unroll: int = DEFAULT_UNROLL,
                  n_rows: int | None = None,
-                 row0=0, jitter: str = "corner") -> TraceResult:
+                 row0=0, jitter: str = "corner",
+                 gather: str = "select") -> TraceResult:
     """Trace every pixel of a width x height frame on TPU.
 
     Returns a TraceResult with batch shape (height, width) — same contract as
@@ -252,6 +296,10 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
         interpret = _use_interpret()
     if n_rows is None:
         n_rows = height
+    if gather not in ("select", "onehot"):
+        raise ValueError(f"gather must be 'select' or 'onehot', got {gather!r}")
+    if gather == "onehot" and counts is None:
+        raise ValueError("gather='onehot' requires static counts")
     tile = tile_rows * LANES
     npix = width * n_rows
     npad = -(-npix // tile) * tile
@@ -283,12 +331,27 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
 
     kernel = functools.partial(_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp,
-                               counts=counts, unroll=unroll, jitter=jitter)
+                               counts=counts, unroll=unroll, jitter=jitter,
+                               gather=gather)
+    in_specs = [smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                tile_spec, tile_spec]
+    inputs = [counts_arr, frame, cam, sphere_geom, sphere_mat, cuboid_geom,
+              cuboid_mat, px, py]
+    if gather == "onehot":
+        table_t = build_attr_table(scene, counts).T
+        in_specs.append(pl.BlockSpec((ATTR_COLS, ATTR_ROWS), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(table_t)
+
+        # ref order from pallas_call: the 9 main inputs, table_t (10th
+        # input), then the 5 outputs
+        def kernel(*refs, _k=kernel):
+            return _k(*refs[:9], *refs[10:], table_t_ref=refs[9])
+
     rad, missd, misst, rays, seed = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-                  tile_spec, tile_spec],
+        in_specs=in_specs,
         out_specs=(vec3_spec, miss_spec, miss_spec, tile_spec, tile_spec),
         out_shape=(
             jax.ShapeDtypeStruct((3, rows, LANES), jnp.float32),
@@ -298,7 +361,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
         ),
         interpret=interpret,
-    )(counts_arr, frame, cam, sphere_geom, sphere_mat, cuboid_geom, cuboid_mat, px, py)
+    )(*inputs)
 
     def unflatten(a):
         # [..., rows, LANES] -> [..., n_rows, width]
