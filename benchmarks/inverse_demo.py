@@ -29,9 +29,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--size", default="512x512")
-    ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--lr", type=float, default=0.005)
     ap.add_argument("--grad-frames", type=int, default=1,
                     help="independent RNG frames averaged per gradient step")
+    ap.add_argument("--view", default="both",
+                    choices=["both", "grid", "default"],
+                    help="'grid' = identifiability view facing the 6x6 "
+                         "sphere grid with a pinhole aperture; 'default' = "
+                         "the reference camera (sees the two glass-sphere "
+                         "rows the grid view cannot); 'both' = optimize "
+                         "against both targets — every perturbed sphere is "
+                         "observed by at least one view")
     ap.add_argument("--out", default="artifacts/inverse_demo.json")
     args = ap.parse_args()
     width, height = map(int, args.size.split("x"))
@@ -47,17 +55,40 @@ def main() -> int:
     from tpt.kernels.trace_grad import trace_diff
 
     ray_depth, spp, counts = 8, 1, (48, 7)
-    cam = CameraConfig()
+    # Identifiability views (a parameter no light path observes cannot be
+    # recovered by ANY estimator):
+    #   grid    — faces the 6x6 grid (centers x in [-12, 10],
+    #             y in [-11.2, 9.6], z = -5, just inside the green wall at
+    #             z = -2.5; room interior z in [-22.5, -2.5]) head-on with
+    #             a pinhole aperture;
+    #   default — the reference camera, which observes the two glass-sphere
+    #             rows at z = -20 that sit outside the grid view's frustum.
+    grid_cam = CameraConfig(position=(-1.0, -0.8, -21.0), look_x=90.0,
+                            look_y=0.0, aperture_diameter=0.0)
+    default_cam = CameraConfig()
+    cams = {"grid": [grid_cam], "default": [default_cam],
+            "both": [grid_cam, default_cam]}[args.view]
     scene = demo_scene().build()
-    inv_p, inv_v, _ = camera_matrices(cam, width, height)
+    views = []
+    for c in cams:
+        inv_p, inv_v, _ = camera_matrices(c, width, height)
+        views.append((inv_p, inv_v, jnp.float32(c.focal_length),
+                      jnp.float32(c.aperture_diameter)))
     env_table = pack_block_table(constant_environment((0.7, 0.8, 1.0)))
-    focal = jnp.float32(cam.focal_length)
-    aperture = jnp.float32(cam.aperture_diameter)
 
-    def render(sm, cm, frame):
+    def render(sm, cm, frame, view):
+        inv_p, inv_v, focal, aperture = views[view]
         s = dataclasses.replace(scene, sphere_material=sm, cuboid_material=cm)
+        # rr=False: fixed-depth differentiable transport.  With Russian
+        # roulette active, survivor throughputs are divided by their max
+        # channel, so the rendered values depend only on albedo RATIOS —
+        # a pixel loss then cannot see the albedo scale (r4 diagnosis in
+        # tpt.integrator.bounce_step) and recovery stalls.  Fixed depth
+        # keeps the loss smooth; matched-seed targets make it exactly zero
+        # at the true parameters.
         res = trace_diff(s, inv_p, inv_v, frame, focal, aperture,
-                         jnp.int32(0), width, height, ray_depth, spp, counts)
+                         jnp.int32(0), width, height, ray_depth, spp, counts,
+                         None, "corner", False)
         return jnp.moveaxis(apply_environment_blocked(res, env_table, spp),
                             0, -1)
 
@@ -66,45 +97,61 @@ def main() -> int:
 
     @jax.jit
     def target_frame(frame):
-        return render(true_sm, true_cm, frame)
+        return jnp.stack([render(true_sm, true_cm, frame, v)
+                          for v in range(len(views))])
 
-    # perturb every sphere's albedo (lanes 0:3) and the area light's
-    # emissive (cuboid 1, lanes 4:7 — LoadScene order: floor, light, ...);
-    # optimize exactly those lanes.  64-parameter-object recovery per
-    # BASELINE config 5, restricted to lanes the 256^2 view identifies.
+    # Perturb and recover the parameters the light transport OBSERVES:
+    # the 36 grid spheres' albedos (lanes 0:3) and the area light's
+    # emissive (cuboid 1, lanes 4:7 — LoadScene order: floor, light, ...).
+    # The 12 glass spheres (indices 36:48) are 98% refractive
+    # (src/MainWindow.cs:225-243): their albedo multiplies throughput on
+    # only the ~2% non-refracted interactions, so it is near-unidentifiable
+    # from ANY view by ANY pixel-loss estimator — their observable color
+    # parameter is the Beer absorbance, which the reference also uses for
+    # their tint.  Recovery of a parameter requires the transport to carry
+    # its signal; r4 restricts the perturbation to observable lanes and
+    # reports MAE over exactly the perturbed set (earlier rounds perturbed
+    # all 48 albedos and measured a floor made of the 12 unobservable
+    # ones).
     rng = np.random.default_rng(11)
     sm0 = np.asarray(true_sm).copy()
     cm0 = np.asarray(true_cm).copy()
-    sm0[:48, 0:3] = rng.uniform(0.2, 0.9, (48, 3))
+    N_OBS = 36
+    sm0[:N_OBS, 0:3] = rng.uniform(0.2, 0.9, (N_OBS, 3))
     cm0[1, 4:7] = np.clip(cm0[1, 4:7] + rng.uniform(-2, 2, 3), 0.5, None)
-    mask_s = np.zeros_like(sm0); mask_s[:48, 0:3] = 1.0
+    mask_s = np.zeros_like(sm0); mask_s[:N_OBS, 0:3] = 1.0
     mask_c = np.zeros_like(cm0); mask_c[1, 4:7] = 1.0
 
-    # Adam: per-parameter scaling makes the recovery robust to the orders-
-    # of-magnitude spread between albedo and emissive gradients (plain SGD
-    # needs a per-lane lr and diverges otherwise).  Constant lr for the
-    # first 60% (coverage: every sphere needs enough visits), cosine decay
-    # to ~0 after (the final MAE floor tracks lr x gradient noise).
+    # Clipped Adam: per-parameter scaling handles the orders-of-magnitude
+    # spread between albedo and emissive gradients, and global-norm
+    # clipping tames the firefly frames that fixed-depth (rr=False)
+    # transport produces (a low-probability Fresnel lobe pick weights a
+    # path by 1/p; with RR off nothing clamps it, so occasional frames
+    # carry huge but correctly-signed gradients).  Constant lr for the
+    # first 60%, cosine decay to ~0 after (the final MAE floor tracks
+    # lr x gradient noise).
     import optax
     sched = optax.join_schedules(
         [optax.constant_schedule(args.lr),
          optax.cosine_decay_schedule(args.lr, max(args.steps * 2 // 5, 1),
                                      0.01)],
         [max(args.steps * 3 // 5, 1)])
-    opt = optax.adam(sched)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
 
     @jax.jit
     def step(params, opt_state, frame, target):
         def loss_fn(p):
             # average the pixel-MSE over --grad-frames independent RNG
-            # streams: each frame is a fresh Monte-Carlo draw (progressive-
-            # rendering style), so the gradient noise drops ~1/sqrt(F)
+            # streams and all identifiability views: each frame is a fresh
+            # Monte-Carlo draw (progressive-rendering style), so the
+            # gradient noise drops ~1/sqrt(F)
             total = jnp.float32(0.0)
             for f in range(args.grad_frames):
-                img = render(p[0], p[1], frame * args.grad_frames + f)
-                err = img - target[f]
-                total = total + jnp.mean(err * err)
-            return total / args.grad_frames
+                for v in range(len(views)):
+                    img = render(p[0], p[1], frame * args.grad_frames + f, v)
+                    err = img - target[f, v]
+                    total = total + jnp.mean(err * err)
+            return total / (args.grad_frames * len(views))
         loss, (gs, gc) = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update((gs * mask_s, gc * mask_c), opt_state)
         params = optax.apply_updates(params, updates)
@@ -117,9 +164,9 @@ def main() -> int:
 
     params = (jnp.asarray(sm0), jnp.asarray(cm0))
     write_png("artifacts/inverse_before.png",
-              np.asarray(post_process(render(*params, jnp.int32(0)))))
+              np.asarray(post_process(render(*params, jnp.int32(0), 0))))
     write_png("artifacts/inverse_target.png",
-              np.asarray(post_process(target_frame(jnp.int32(0)))))
+              np.asarray(post_process(target_frame(jnp.int32(0))[0])))
     t0 = time.time()
     losses = []
     opt_state = opt.init(params)
@@ -130,11 +177,13 @@ def main() -> int:
         params, opt_state, loss = step(params, opt_state, frame, tgt)
         if i % 20 == 0 or i == args.steps - 1:
             losses.append(float(loss))
-            print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
+            if i % 200 == 0 or i == args.steps - 1:
+                print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
 
-    sm_err0 = float(np.abs(sm0[:48, 0:3] - np.asarray(true_sm)[:48, 0:3]).mean())
-    sm_err = float(np.abs(np.asarray(params[0])[:48, 0:3]
-                          - np.asarray(true_sm)[:48, 0:3]).mean())
+    sm_err0 = float(np.abs(sm0[:N_OBS, 0:3]
+                           - np.asarray(true_sm)[:N_OBS, 0:3]).mean())
+    sm_err = float(np.abs(np.asarray(params[0])[:N_OBS, 0:3]
+                          - np.asarray(true_sm)[:N_OBS, 0:3]).mean())
     cm_err0 = float(np.abs(cm0[1, 4:7] - np.asarray(true_cm)[1, 4:7]).mean())
     cm_err = float(np.abs(np.asarray(params[1])[1, 4:7]
                           - np.asarray(true_cm)[1, 4:7]).mean())
@@ -142,14 +191,19 @@ def main() -> int:
     result = {
         "metric": "inverse_demo_material_recovery",
         "steps": args.steps, "size": args.size, "wall_s": round(wall, 1),
+        # per-frame losses jump with firefly draws under rr=False;
+        # median over the tail is the stable convergence figure
         "loss_first": losses[0], "loss_last": losses[-1],
+        "loss_final_median": float(np.median(losses[-10:])),
+        "loss_reduction_x": round(losses[0] /
+                                  max(float(np.median(losses[-10:])), 1e-12)),
         "sphere_param_mae_before": round(sm_err0, 4),
         "sphere_param_mae_after": round(sm_err, 4),
         "cuboid_param_mae_before": round(cm_err0, 4),
         "cuboid_param_mae_after": round(cm_err, 4),
     }
     write_png("artifacts/inverse_after.png",
-              np.asarray(post_process(render(*params, jnp.int32(0)))))
+              np.asarray(post_process(render(*params, jnp.int32(0), 0))))
     print(json.dumps(result))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

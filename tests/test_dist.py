@@ -198,10 +198,10 @@ def test_train_step_honors_center_jitter(monkeypatch):
 
     def spy(scene, inv_p, inv_v, frame, focal, aperture, row0,
             width, height, ray_depth, spp, counts, n_rows=None,
-            jitter="corner"):
+            jitter="corner", rr=True):
         seen.append(jitter)
         return real(scene, inv_p, inv_v, frame, focal, aperture, row0,
-                    width, height, ray_depth, spp, counts, n_rows, jitter)
+                    width, height, ray_depth, spp, counts, n_rows, jitter, rr)
 
     monkeypatch.setattr(trace_grad, "trace_diff", spy)
     cam, scene, inv_p, inv_v, pos, env = setup()

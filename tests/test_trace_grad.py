@@ -107,3 +107,64 @@ def test_grad_kernel_matches_oracle_spp2():
         check_grads(cornell_scene(), cam_cfg, (4, 0))
     finally:
         globals()["SPP"] = old
+
+
+def test_grad_kernel_matches_oracle_rr_off():
+    """Fixed-depth (russian_roulette=False) differentiable transport: the
+    inverse-rendering path uses it because RR divides surviving throughput
+    by its max channel, making rendered values depend only on albedo
+    RATIOS — the albedo scale is then invisible to any pixel loss (r4
+    diagnosis, tpt.integrator.bounce_step docstring).  The kernel backward
+    must match oracle AD in this mode too."""
+    import dataclasses
+    from tpt import camera
+    from tpt.config import CameraConfig
+    from tpt.env import constant_environment, pack_block_table
+    from tpt.integrator import (apply_environment, apply_environment_blocked,
+                                camera_params, compose_trace_fn,
+                                make_scene_scan_fn, make_xla_gather_fn,
+                                trace_paths)
+    from tpt.kernels.trace_grad import trace_diff
+    from tpt.scene import cornell_scene
+
+    W, H, DEPTH, SPP = 40, 24, 3, 1
+    scene = cornell_scene().build()
+    cc = CameraConfig(position=(0.0, 0.5, 2.0), look_x=-90.0, look_y=-5.0,
+                      focal_length=8.0, aperture_diameter=0.1)
+    inv_p, inv_v, _ = camera.camera_matrices(cc, W, H)
+    env = constant_environment((0.3, 0.45, 0.6))
+    env_t = pack_block_table(env)
+
+    def loss_kernel(sm):
+        s = dataclasses.replace(scene, sphere_material=sm)
+        res = trace_diff(s, inv_p, inv_v, jnp.int32(0), jnp.float32(8.0),
+                         jnp.float32(0.1), jnp.int32(0), W, H, DEPTH, SPP,
+                         (4, 5), None, "corner", False)
+        return jnp.sum(apply_environment_blocked(res, env_t, SPP) ** 2)
+
+    def loss_oracle(sm):
+        s = dataclasses.replace(scene, sphere_material=sm)
+        px = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        py = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        cam = camera_params(inv_p, inv_v, 8.0, 0.1)
+        trace = compose_trace_fn(make_scene_scan_fn(s, counts=(4, 5)),
+                                 make_xla_gather_fn(s))
+        res = trace_paths(trace, cam, px, py, W, H, jnp.int32(0), DEPTH, SPP,
+                          russian_roulette=False)
+        return jnp.sum(apply_environment(res, env, SPP) ** 2)
+
+    lk, gk = jax.value_and_grad(loss_kernel)(scene.sphere_material)
+    lo, go = jax.value_and_grad(loss_oracle)(scene.sphere_material)
+    np.testing.assert_allclose(float(lk), float(lo), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(go),
+                               rtol=2e-4, atol=2e-5)
+    # rr=False must differ from rr=True (no silent flag drop): fixed-depth
+    # transport keeps more paths alive, changing the primal
+    def loss_rr(sm):
+        s = dataclasses.replace(scene, sphere_material=sm)
+        res = trace_diff(s, inv_p, inv_v, jnp.int32(0), jnp.float32(8.0),
+                         jnp.float32(0.1), jnp.int32(0), W, H, DEPTH, SPP,
+                         (4, 5))
+        return jnp.sum(apply_environment_blocked(res, env_t, SPP) ** 2)
+
+    assert abs(float(loss_rr(scene.sphere_material)) - float(lk)) > 0.0

@@ -380,8 +380,23 @@ class PathState:
 jax.tree_util.register_dataclass(PathState)
 
 
-def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
-    """One bounce of the Radiance loop (compute.glsl:132-182)."""
+def bounce_step(state: PathState, trace_fn: TraceFn,
+                russian_roulette: bool = True) -> PathState:
+    """One bounce of the Radiance loop (compute.glsl:132-182).
+
+    ``russian_roulette=False`` disables the RR termination/reweighting
+    (compute.glsl:166-173) for DIFFERENTIABLE transport: with RR active,
+    a surviving path's throughput is divided by p_max = max(throughput),
+    so survivor values depend only on albedo RATIOS — the albedo scale is
+    carried entirely by the (detached, discrete) survival decisions, and a
+    pixel-loss optimizer against a matched-RNG target can freely rescale
+    albedos at near-zero loss (r4 diagnosis: single-sphere recovery froze
+    at |d albedo| ~ 0.14-0.35 under every RR gradient treatment).  Fixed-
+    depth transport keeps the full albedo dependence in the throughput —
+    with matched seeds and material-only optimization there are NO
+    discrete flips at all, so the loss is genuinely smooth.  The RR roll
+    is still drawn, keeping the RNG stream aligned with rr=True draw-for-
+    draw.  Rendering keeps rr=True (the reference's behavior)."""
     o, d, thr, rad, seed = (state.origin, state.direction, state.throughput,
                             state.radiance, state.seed)
     alive = state.alive != 0
@@ -469,10 +484,15 @@ def bounce_step(state: PathState, trace_fn: TraceFn) -> PathState:
     # --- Russian roulette (compute.glsl:166-173) ---
     p_max = max3(thr_after)
     rr_roll, s6 = rng.random_float01(seed_after_bsdf)
-    die = rr_roll > p_max
-    survive = hit & ~die
-    p_max_safe = jnp.where(survive, p_max, 1.0)
-    thr_after = jnp.where(survive[None], thr_after / bcast3(p_max_safe), thr_after)
+    if russian_roulette:
+        die = rr_roll > p_max
+        survive = hit & ~die
+        p_max_safe = jnp.where(survive, p_max, 1.0)
+        thr_after = jnp.where(survive[None],
+                              thr_after / bcast3(p_max_safe), thr_after)
+    else:
+        die = jnp.zeros_like(hit)
+        survive = hit
 
     # --- escaped rays: defer the environment fetch ---
     miss_dir = where3(miss, d, state.miss_dir)
@@ -553,7 +573,8 @@ class TraceResult(NamedTuple):
 def trace_paths(trace_fn: TraceFn, cam: CameraParams,
                 px, py, width: int, height: int, frame,
                 ray_depth: int, spp: int, remat: bool = False,
-                jitter: str = "corner") -> TraceResult:
+                jitter: str = "corner",
+                russian_roulette: bool = True) -> TraceResult:
     """Full per-pixel sampling loop (compute.glsl:101-130), environment
     fetch deferred.  ``px``/``py`` are integer pixel coords (GL convention:
     y bottom-up) of any batch shape.
@@ -614,19 +635,20 @@ def trace_paths(trace_fn: TraceFn, cam: CameraParams,
         def live_bounce(st):
             return jax.lax.cond(
                 jnp.any(st.alive != 0),
-                lambda s: bounce_step(s, trace_fn),
+                lambda s: bounce_step(s, trace_fn, russian_roulette),
                 lambda s: s, st)
 
         if remat:
             # reverse-mode memory: store only the inter-bounce carry and
             # recompute each bounce's internals in the backward sweep
-            step = jax.checkpoint(lambda s: bounce_step(s, trace_fn))
+            step = jax.checkpoint(
+                lambda s: bounce_step(s, trace_fn, russian_roulette))
             for _bounce in range(ray_depth):
                 state = step(state)
         else:
             for _bounce in range(ray_depth):
-                state = bounce_step(state, trace_fn) if _bounce == 0 \
-                    else live_bounce(state)
+                state = bounce_step(state, trace_fn, russian_roulette) \
+                    if _bounce == 0 else live_bounce(state)
 
         rad_total = rad_total + state.radiance
         miss_dirs.append(state.miss_dir)

@@ -113,7 +113,7 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             *, width: int, height: int, ray_depth: int, spp: int,
             counts: Tuple[int, int] | None, unroll: int,
             jitter: str = "corner", gather: str = "select",
-            table_t_ref=None):
+            rr: bool = True, table_t_ref=None):
     # Static counts (the fast path) bake the primitive-loop trip counts into
     # the program so Mosaic can unroll them, hoisting the per-iteration SMEM
     # scalar reads and loop control off the critical path.  Dynamic counts
@@ -186,7 +186,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
             return found, best_t, inside_b, winner
 
         res = trace_paths(kernel_trace, cam, px_ref[:], py_ref[:],
-                          width, height, frame, ray_depth, spp, jitter=jitter)
+                          width, height, frame, ray_depth, spp, jitter=jitter,
+                          russian_roulette=rr)
         rad_ref[:] = res.radiance
         missd_ref[:] = res.miss_dir
         misst_ref[:] = res.miss_thr
@@ -245,7 +246,8 @@ def _kernel(counts_ref, frame_ref, cam_ref,
         return found, best_t, inside != 0, winner
 
     res = trace_paths(kernel_trace, cam, px_ref[:], py_ref[:],
-                      width, height, frame, ray_depth, spp, jitter=jitter)
+                      width, height, frame, ray_depth, spp, jitter=jitter,
+                      russian_roulette=rr)
 
     rad_ref[:] = res.radiance
     missd_ref[:] = res.miss_dir
@@ -270,7 +272,7 @@ def _use_interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
                                              "counts", "unroll", "n_rows",
-                                             "jitter", "gather"))
+                                             "jitter", "gather", "rr"))
 def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diameter,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  tile_rows: int = DEFAULT_TILE_ROWS,
@@ -279,7 +281,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
                  unroll: int = DEFAULT_UNROLL,
                  n_rows: int | None = None,
                  row0=0, jitter: str = "corner",
-                 gather: str = "select") -> TraceResult:
+                 gather: str = "select", rr: bool = True) -> TraceResult:
     """Trace every pixel of a width x height frame on TPU.
 
     Returns a TraceResult with batch shape (height, width) — same contract as
@@ -332,7 +334,7 @@ def pallas_trace(scene, inv_proj, inv_view, frame, focal_length, aperture_diamet
     kernel = functools.partial(_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp,
                                counts=counts, unroll=unroll, jitter=jitter,
-                               gather=gather)
+                               gather=gather, rr=rr)
     in_specs = [smem(), smem(), smem(), smem(), smem(), smem(), smem(),
                 tile_spec, tile_spec]
     inputs = [counts_arr, frame, cam, sphere_geom, sphere_mat, cuboid_geom,

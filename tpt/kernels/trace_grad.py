@@ -144,7 +144,7 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                  s_widx, s_ins, s_dtbl,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  counts: Tuple[int, int], unroll: int, jitter: str,
-                 ablate: str = "none"):
+                 rr: bool = True, ablate: str = "none"):
     num_spheres, num_cuboids = counts
     frame = frame_ref[0]
     del unroll  # the value fold is a static Python unroll
@@ -167,7 +167,7 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         attribute-major table (see integrator._onehot_cols)."""
         trace = lambda o, d: onehot_hit_trace(tbl_t, num_spheres, o, d,
                                               idx, inside)
-        return bounce_step(st, trace)
+        return bounce_step(st, trace, russian_roulette=rr)
 
     px = px_ref[:]
     py = py_ref[:]
@@ -340,7 +340,7 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
                                              "counts", "unroll", "n_rows",
-                                             "jitter", "ablate"))
+                                             "jitter", "ablate", "rr"))
 def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       aperture_diameter, g_rad, g_missd, g_misst,
                       *, width: int, height: int, ray_depth: int, spp: int,
@@ -349,7 +349,8 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       interpret: bool | None = None,
                       unroll: int = DEFAULT_UNROLL,
                       n_rows: int | None = None, row0=0,
-                      jitter: str = "corner", ablate: str = "none"):
+                      jitter: str = "corner", ablate: str = "none",
+                      rr: bool = True):
     """Cotangents of pallas_trace's differentiable outputs.
 
     ``g_rad``: f32[3, n_rows, width]; ``g_missd``/``g_misst``:
@@ -419,7 +420,8 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
 
     kernel = functools.partial(_grad_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp, counts=counts,
-                               unroll=unroll, jitter=jitter, ablate=ablate)
+                               unroll=unroll, jitter=jitter, ablate=ablate,
+                               rr=rr)
     d_table, d_cam = pl.pallas_call(
         kernel,
         grid=grid,
@@ -474,12 +476,13 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     return d_scene, d_ip, d_iv, d_cam[18], d_cam[19]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def trace_diff(scene, inv_proj, inv_view, frame, focal_length,
                aperture_diameter, row0, width: int, height: int,
                ray_depth: int, spp: int, counts: Tuple[int, int],
                n_rows: int | None = None,
-               jitter: str = "corner") -> TraceResult:
+               jitter: str = "corner", rr: bool = True) -> TraceResult:
     """Differentiable production trace: Pallas forward, Pallas backward.
 
     Returns pallas_trace's TraceResult; reverse-mode differentiable w.r.t.
@@ -492,27 +495,27 @@ def trace_diff(scene, inv_proj, inv_view, frame, focal_length,
     return pallas_trace(scene, inv_proj, inv_view, frame, focal_length,
                         aperture_diameter, width=width, height=height,
                         ray_depth=ray_depth, spp=spp, counts=counts,
-                        n_rows=n_rows, row0=row0, jitter=jitter)
+                        n_rows=n_rows, row0=row0, jitter=jitter, rr=rr)
 
 
 def _trace_diff_fwd(scene, inv_proj, inv_view, frame, focal_length,
                     aperture_diameter, row0, width, height, ray_depth, spp,
-                    counts, n_rows=None, jitter="corner"):
+                    counts, n_rows=None, jitter="corner", rr=True):
     out = trace_diff(scene, inv_proj, inv_view, frame, focal_length,
                      aperture_diameter, row0, width, height, ray_depth, spp,
-                     counts, n_rows, jitter)
+                     counts, n_rows, jitter, rr)
     return out, (scene, inv_proj, inv_view, frame, focal_length,
                  aperture_diameter, row0)
 
 
 def _trace_diff_bwd(width, height, ray_depth, spp, counts, n_rows, jitter,
-                    residuals, ct):
+                    rr, residuals, ct):
     scene, inv_proj, inv_view, frame, focal, aperture, row0 = residuals
     d_scene, d_ip, d_iv, d_focal, d_ap = pallas_trace_grad(
         scene, inv_proj, inv_view, frame, focal, aperture,
         ct.radiance, ct.miss_dir, ct.miss_thr,
         width=width, height=height, ray_depth=ray_depth, spp=spp,
-        counts=counts, n_rows=n_rows, row0=row0, jitter=jitter)
+        counts=counts, n_rows=n_rows, row0=row0, jitter=jitter, rr=rr)
     d_frame = np.zeros(np.shape(frame), jax.dtypes.float0)
     d_row0 = np.zeros(np.shape(row0), jax.dtypes.float0)
     return d_scene, d_ip, d_iv, d_frame, d_focal, d_ap, d_row0

@@ -219,6 +219,13 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
         px = jax.lax.broadcasted_iota(jnp.int32, (rows_local, width), 1)
 
         # static counts: reverse-mode AD cannot transpose dynamic-trip loops
+        if counts is None:
+            import warnings
+            warnings.warn(
+                "make_train_step(backend='oracle') without counts reverse-"
+                "differentiates the full 320-primitive padded scan (~6x "
+                "wasted work); pass counts=(n_spheres, n_cuboids)",
+                stacklevel=2)
         c = counts or (256, 64)
         acc = jnp.zeros((3, rows_local, width), jnp.float32)
         for g in range(groups_per_shard):
