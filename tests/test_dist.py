@@ -214,3 +214,23 @@ def test_train_step_honors_center_jitter(monkeypatch):
                    cam.aperture_diameter, 0, target, 0.0)
     assert np.isfinite(float(loss))
     assert seen and all(j == "center" for j in seen)
+
+
+def test_train_step_rr_off_backends_agree():
+    """Fixed-depth (russian_roulette=False) sharded training: kernel and
+    oracle backends must compute the same loss (the inverse-rendering
+    configuration — see tpt.integrator.bounce_step on why RR'd transport
+    cannot recover albedo scale)."""
+    cam, scene, inv_p, inv_v, pos, env = setup()
+    target = jnp.zeros((16, 32, 3), jnp.float32) + 0.25
+    losses = {}
+    for backend in ("kernel", "oracle"):
+        cfg = RenderConfig(width=32, height=16, ray_depth=3, spp=1)
+        mesh = make_mesh(dp=4, sp=2)
+        step = make_train_step(mesh, cfg, counts=(4, 5), backend=backend,
+                               russian_roulette=False)
+        new_scene, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
+                               cam.aperture_diameter, 0, target, 0.01)
+        losses[backend] = float(loss)
+        assert np.isfinite(losses[backend])
+    np.testing.assert_allclose(losses["kernel"], losses["oracle"], rtol=1e-5)

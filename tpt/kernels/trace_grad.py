@@ -86,6 +86,9 @@ N_CAM = 20  # ip00,ip01,ip02,ip10,ip11,ip12, right, up, backward, eye, focal, ap
 
 # When True, every pallas_trace_grad call logs how many non-finite parameter
 # cotangent entries its finite filter zeroed (see the filter's comment).
+# Set BEFORE the first traced call (it is baked in at trace time).  NOTE:
+# the log uses jax.debug.print, which the axon TPU tunnel does not support
+# (no host callbacks) — use it on CPU/interpret runs.
 NONFINITE_DEBUG = False
 
 

@@ -167,7 +167,7 @@ def trainable_filter_grads(grads: Scene) -> Scene:
 
 def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
                     counts: Tuple[int, int] = None, param_mask=None,
-                    backend: str = "kernel"):
+                    backend: str = "kernel", russian_roulette: bool = True):
     """Inverse-rendering step: pixel-MSE against a target image, gradient
     descent on the material tables (BASELINE.json config 5).
 
@@ -185,6 +185,13 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
     transposes the psum-mean into broadcast and the replicated-scene reads
     into a cross-mesh gradient psum — the all-reduce the SURVEY's
     parallelism table calls for, riding ICI.
+
+    ``russian_roulette=False`` selects fixed-depth differentiable
+    transport: RR'd pixel values depend only on albedo RATIOS (the RR
+    weight divides by the max throughput channel), so albedo-scale
+    recovery through an RR'd render is impossible for any pixel-loss
+    estimator — see tpt.integrator.bounce_step.  Serious inverse-rendering
+    runs should pass False (benchmarks/inverse_demo.py does).
     """
     if backend not in ("kernel", "oracle"):
         raise ValueError(f"unknown backend {backend!r}")
@@ -235,7 +242,8 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
                 from ..kernels.trace_grad import trace_diff
                 res = trace_diff(scene, inv_proj, inv_view, frame_eff,
                                  focal, aperture, y0, width, height,
-                                 ray_depth, spp, c, rows_local, jitter)
+                                 ray_depth, spp, c, rows_local, jitter,
+                                 russian_roulette)
                 acc = acc + apply_environment_blocked(res, env, spp)
             else:
                 scan = make_scene_scan_fn(scene, counts=c)
@@ -243,7 +251,8 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
                 cam = camera_params(inv_proj, inv_view, focal, aperture)
                 res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
                                   width, height, frame_eff, ray_depth, spp,
-                                  jitter=jitter)
+                                  jitter=jitter,
+                                  russian_roulette=russian_roulette)
                 acc = acc + apply_environment(res, env, spp)
         acc = jax.lax.psum(acc, "sp") / np.float32(groups)
 
