@@ -1,0 +1,65 @@
+"""Kernel cost vs ray depth at 1080p: reveals how much of the bounce loop
+runs on dead work.
+
+r4 finding: traced segments saturate (~5.5M by depth 8; Russian roulette
+keeps E[bounces] ~ 2.7) but kernel device time keeps growing ~1.8 ms per
+bounce — the all-dead tile skip needs EVERY lane of a (24, 128) tile dead,
+and at depth > 8 a tile still holds ~3 straggler paths in expectation.
+Perfect dead-work skipping would put the kernel near ~9 ms/frame (vs 22.2):
+the identified next lever is per-tile path compaction or expected-depth
+pixel reordering with a persistently permuted accumulator.
+
+Usage: python benchmarks/depth_sweep.py
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from tpt.utils import enable_persistent_cache
+enable_persistent_cache()
+from tpt import CameraConfig, demo_scene
+from tpt.camera import camera_matrices
+from tpt.kernels.trace import pallas_trace
+
+
+def main() -> int:
+    W, H = 1920, 1080
+    cam = CameraConfig()
+    scene = demo_scene().build()
+    inv_p, inv_v, _ = camera_matrices(cam, W, H)
+
+    for depth in (1, 2, 4, 8, 13):
+        def frame(i, depth=depth):
+            res = pallas_trace(scene, inv_p, inv_v, jnp.int32(i),
+                               jnp.float32(cam.focal_length),
+                               jnp.float32(cam.aperture_diameter),
+                               width=W, height=H, ray_depth=depth, spp=1,
+                               counts=(48, 7))
+            return jnp.sum(res.radiance), jnp.sum(res.ray_count)
+
+        # sync by fetching the ray count (block_until_ready is a no-op
+        # under the axon tunnel); wall times carry ~27 ms of per-call
+        # roundtrip — compare DIFFERENCES between depths, not absolutes
+        s, r = frame(0); _ = int(r)
+        for i in range(2):
+            s, r = frame(i + 1); _ = int(r)
+        ts, cs = [], []
+        for i in range(8):
+            t0 = time.time()
+            s, r = frame(i + 3)
+            cs.append(int(r))
+            ts.append(time.time() - t0)
+        med = float(np.median(ts))
+        print(f"depth {depth:2d}: {med*1e3:6.1f} ms/frame (incl. sync)  "
+              f"segs {np.mean(cs)/1e6:5.2f}M", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,11 @@ def _build_env(args):
         from .env import load_cubemap_files
         paths = args.cubemap_files.split(",")
         return load_cubemap_files(paths)
+    if args.env == "skybox":
+        # procedural stand-in for the reference's bundled 6-PNG skybox
+        # (src/MainWindow.cs:177-187) — see tpt.env.default_skybox
+        from .env import default_skybox
+        return default_skybox()
     raise SystemExit(f"unknown env '{args.env}'")
 
 
@@ -77,7 +82,7 @@ def _add_common_flags(p):
     p.add_argument("--pitch", type=float, default=0.8)
     p.add_argument("--scene", default="demo")
     p.add_argument("--env", default="atmosphere",
-                   choices=["atmosphere", "constant", "cubemap"])
+                   choices=["atmosphere", "constant", "cubemap", "skybox"])
     p.add_argument("--env-color", default="0.7,0.8,1.0")
     p.add_argument("--cubemap-files", default="",
                    help="6 comma-separated face images (+X,-X,+Y,-Y,+Z,-Z)")
