@@ -3,11 +3,14 @@ runs on dead work.
 
 r4 finding: traced segments saturate (~5.5M by depth 8; Russian roulette
 keeps E[bounces] ~ 2.7) but kernel device time keeps growing ~1.8 ms per
-bounce — the all-dead tile skip needs EVERY lane of a (24, 128) tile dead,
-and at depth > 8 a tile still holds ~3 straggler paths in expectation.
-Perfect dead-work skipping would put the kernel near ~9 ms/frame (vs 22.2):
-the identified next lever is per-tile path compaction or expected-depth
-pixel reordering with a persistently permuted accumulator.
+bounce, flat through depth 13 — the all-dead tile skip needs EVERY lane of
+a (24, 128) tile dead, and the binomial tail makes that essentially never
+happen: with per-bounce RR survival ~0.6, any 3072-lane tile keeps a
+straggler to depth ~log(1/3072)/log(0.6) ~ 15 REGARDLESS of how pixels are
+ordered into tiles (the tail is per-lane randomness, not heterogeneity —
+sorting by expected depth cannot help).  Perfect dead-work skipping would
+put the kernel near ~9 ms/frame (vs 22.2); it requires per-lane path
+compaction between bounce phases, recorded as the candidate r5 lever.
 
 Usage: python benchmarks/depth_sweep.py
 """
