@@ -10,7 +10,19 @@ The detached-decision estimator's bias characterization: discrete choices
 gradient, so parameters are recovered through the continuous factors only
 (throughput products, emission pickup, Fresnel weights, Beer exponents).
 For albedo/emissive at fixed geometry this estimator is unbiased in
-expectation over RNG; convergence below is the empirical check.
+expectation over RNG (with fixed-depth transport — see --view help and
+tpt.integrator.bounce_step); convergence below is the empirical check.
+
+GEOMETRY recovery (sphere positions/radii) is out of scope by estimator
+design, not by missing gradients: the detached closest-hit drops the
+silhouette boundary term (moving a sphere changes WHICH pixels hit it),
+and r4 probes show the interior-only gradient misleads — e.g. radius
+drifts upward because growing the sphere reduces interior residuals while
+the silhouette penalty is invisible.  Recovering geometry needs
+edge-sampling / reparameterized estimators (Li 2018, Loubet 2019) — a
+research feature beyond the reference's capability set.  The geometry
+GRADIENTS themselves exist, are finite, and match oracle AD
+(tests/test_diff.py::test_geometry_gradients_exist).
 
 Usage: python benchmarks/inverse_demo.py [--steps N] [--size WxH]
 """
