@@ -51,7 +51,7 @@ class DiffInputs(NamedTuple):
 
 
 def _oracle_image(diff: DiffInputs, inv_proj, inv_view, frame,
-                  width, height, ray_depth, spp, counts):
+                  width, height, ray_depth, spp, counts, rr=True):
     scene = Scene(sphere_pos_radius=diff.sphere_pos_radius,
                   sphere_material=diff.sphere_material,
                   cuboid_min=diff.cuboid_min, cuboid_max=diff.cuboid_max,
@@ -65,13 +65,14 @@ def _oracle_image(diff: DiffInputs, inv_proj, inv_view, frame,
     cam = camera_params(inv_proj, inv_view, diff.focal_length,
                         diff.aperture_diameter)
     res = trace_paths(compose_trace_fn(scan, gather), cam, px, py,
-                      width, height, frame, ray_depth, spp, remat=True)
+                      width, height, frame, ray_depth, spp, remat=True,
+                      russian_roulette=rr)
     mean = apply_environment(res, diff.env_faces, spp)
     return jnp.moveaxis(mean, 0, -1)
 
 
 def _kernel_image(diff: DiffInputs, inv_proj, inv_view, frame,
-                  width, height, ray_depth, spp, counts):
+                  width, height, ray_depth, spp, counts, rr=True):
     from .kernels.trace import pallas_trace
     scene = Scene(sphere_pos_radius=diff.sphere_pos_radius,
                   sphere_material=diff.sphere_material,
@@ -81,35 +82,37 @@ def _kernel_image(diff: DiffInputs, inv_proj, inv_view, frame,
                   num_cuboids=jnp.int32(counts[1]))
     res = pallas_trace(scene, inv_proj, inv_view, frame, diff.focal_length,
                        diff.aperture_diameter, width=width, height=height,
-                       ray_depth=ray_depth, spp=spp)
+                       ray_depth=ray_depth, spp=spp, rr=rr)
     mean = apply_environment(res, diff.env_faces, spp)
     return jnp.moveaxis(mean, 0, -1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def render_diff(diff: DiffInputs, inv_proj, inv_view, frame,
                 width: int, height: int, ray_depth: int, spp: int,
-                counts: Tuple[int, int]):
+                counts: Tuple[int, int], rr: bool = True):
     """Differentiable frame render: f32[H, W, 3] mean radiance.
 
     Primal via the Pallas kernel; cotangents via oracle replay.
-    ``counts`` must be static (n_spheres, n_cuboids)."""
+    ``counts`` must be static (n_spheres, n_cuboids).  ``rr=False``
+    selects fixed-depth transport — required for albedo-scale recovery
+    (see tpt.integrator.bounce_step)."""
     return _kernel_image(diff, inv_proj, inv_view, frame,
-                         width, height, ray_depth, spp, counts)
+                         width, height, ray_depth, spp, counts, rr)
 
 
 def _render_diff_fwd(diff, inv_proj, inv_view, frame,
-                     width, height, ray_depth, spp, counts):
+                     width, height, ray_depth, spp, counts, rr=True):
     out = _kernel_image(diff, inv_proj, inv_view, frame,
-                        width, height, ray_depth, spp, counts)
+                        width, height, ray_depth, spp, counts, rr)
     return out, (diff, inv_proj, inv_view, frame)
 
 
-def _render_diff_bwd(width, height, ray_depth, spp, counts, residuals, g):
+def _render_diff_bwd(width, height, ray_depth, spp, counts, rr, residuals, g):
     diff, inv_proj, inv_view, frame = residuals
     _, vjp = jax.vjp(
         lambda d, ip, iv: _oracle_image(d, ip, iv, frame, width, height,
-                                        ray_depth, spp, counts),
+                                        ray_depth, spp, counts, rr),
         diff, inv_proj, inv_view)
     d_diff, d_ip, d_iv = vjp(g)
     return d_diff, d_ip, d_iv, None
