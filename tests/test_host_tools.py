@@ -107,3 +107,15 @@ def test_cli_render_checkpoint_resume(tmp_path):
     assert "resumed" in r2.stdout
     import numpy as np
     assert int(np.load(ckpt)["frame"]) == 4
+
+
+def test_cli_render_skybox_env(tmp_path):
+    # --env skybox renders under the procedural default skybox
+    # (tpt.env.default_skybox) — the no-asset analogue of the reference's
+    # bundled 6-PNG environment map (src/MainWindow.cs:177-187)
+    out = str(tmp_path / "sky.png")
+    r = _run_cli("render", "--width", "24", "--height", "16", "--frames", "1",
+                 "--env", "skybox", "--scene", "cornell", "--ray-depth", "2",
+                 "--backend", "oracle", "--platform", "cpu", "--out", out)
+    assert r.returncode == 0, r.stderr
+    assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
