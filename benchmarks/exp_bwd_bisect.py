@@ -3,8 +3,9 @@ directly under ablations (fwd sweep only / reverse primal only / no d_table
 accumulate / full) and tile-row variants.
 
 Usage: python benchmarks/exp_bwd_bisect.py [ablate1 ablate2 ...]
-       names: none norev primalonly nodtbl none16 norev16 ...
-       (trailing '16' = tile_rows 16)
+       names: none norev primalonly nodtbl nostores nocam + '16' suffix
+       (trailing '16' = tile_rows 16; nostores/nocam imply skipping the
+       reverse sweep is NOT implied — combine by reading the code)
 """
 import sys
 import time

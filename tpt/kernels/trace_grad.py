@@ -140,7 +140,8 @@ def make_value_scan_fold(sphere_vals, cuboid_vals):
     return scan
 
 
-def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
+def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, sphere_mat_ref,
+                 cuboid_geom_ref, cuboid_mat_ref,
                  table_ref, px_ref, py_ref, grad_ref, gmissd_ref, gmisst_ref,
                  dtable_ref, dcam_ref,
                  s_orig, s_dir, s_thr, s_md, s_mt, s_seed, s_alive,
@@ -159,7 +160,51 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
                         for i in range(num_spheres))
     cuboid_vals = tuple(tuple(cuboid_geom_ref[j, k] for k in (0, 1, 2, 4, 5, 6))
                         for j in range(num_cuboids))
+    MAT_LANES = 14
+    sphere_mats = tuple(tuple(sphere_mat_ref[i, k] for k in range(MAT_LANES))
+                        for i in range(num_spheres))
+    cuboid_mats = tuple(tuple(cuboid_mat_ref[j, k] for k in range(MAT_LANES))
+                        for j in range(num_cuboids))
     fold = make_value_scan_fold(sphere_vals, cuboid_vals)
+
+    def select_winner(idx):
+        """Winner attributes via masked broadcast-selects over the hoisted
+        scalar values — the production forward kernel's pass-2 gather.  The
+        forward SWEEP needs no table cotangent, so the one-hot MXU gather
+        buys nothing there and costs ~40% of the whole backward (r4 bisect:
+        fwd sweep 66.4 ms of 94.5 with the one-hot vs the production
+        forward's ~25 ms); selects keep it at production speed.  Values are
+        bit-identical to the one-hot gather (both read the same table)."""
+        batch = idx.shape
+        zero_lane = jnp.zeros(batch, jnp.float32)
+
+        def splat(c):
+            return jnp.broadcast_to(c, batch)
+
+        def sel_vec(cond, scalars, carried):
+            vec = jnp.stack([splat(c) for c in scalars])
+            return jnp.where(cond[None], vec, carried)
+
+        mat = jnp.zeros((MAT_LANES,) + batch, jnp.float32)
+        s_center = jnp.zeros((3,) + batch, jnp.float32)
+        s_radius = zero_lane
+        c_min = jnp.zeros((3,) + batch, jnp.float32)
+        c_max = jnp.zeros((3,) + batch, jnp.float32)
+        for i, (geom, m) in enumerate(zip(sphere_vals, sphere_mats)):
+            msk = idx == i
+            mat = sel_vec(msk, m, mat)
+            s_center = sel_vec(msk, geom[0:3], s_center)
+            s_radius = jnp.where(msk, geom[3], s_radius)
+        for j, (geom, m) in enumerate(zip(cuboid_vals, cuboid_mats)):
+            msk = idx == MAX_SPHERES + j
+            mat = sel_vec(msk, m, mat)
+            c_min = sel_vec(msk, geom[0:3], c_min)
+            c_max = sel_vec(msk, geom[3:6], c_max)
+        from ..integrator import Winner
+        return Winner(material=mat, sphere_center=s_center,
+                      sphere_radius=s_radius, cuboid_min=c_min,
+                      cuboid_max=c_max,
+                      is_sphere=(idx >= 0) & (idx < MAX_SPHERES))
 
     def bounce_from_hit(tbl_t, st, idx, inside):
         """One bounce evaluated from a precomputed hit record: the fold
@@ -205,7 +250,11 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
             return primary_ray(cam_params(cv), fpx, fpy, width, height,
                                draws, jitter)
 
-        (o0, d0), ray_vjp = jax.vjp(ray_fn, cam_vals)
+        if ablate == "nocam":
+            o0, d0 = ray_fn(cam_vals)
+            ray_vjp = lambda ct: (tuple(c * 0.0 for c in cam_vals),)
+        else:
+            (o0, d0), ray_vjp = jax.vjp(ray_fn, cam_vals)
 
         state = PathState(
             origin=o0, direction=d0,
@@ -228,30 +277,39 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, cuboid_geom_ref,
         # (a dead bounce is the identity, so the stored carries stay valid
         # and the reverse sweep sees identity vjps for those js).
         # The closest-hit fold runs HERE ONLY — its winner index + inside
-        # flag are stored per bounce (s_widx/s_ins) and replayed by the
+        # flag are stored per bounce (the i32 slab) and replayed by the
         # reverse sweep, so the 55-primitive scan prices in once per bounce
         # exactly like the production forward kernel.
+        # (Stores measured ~13 ms/step of the backward via the
+        # ablate='nostores' probe; packing them into two wide slabs was
+        # tried and traded the store cost for pricier dynamic-j slab reads
+        # in the reverse sweep — net negative, so the separate per-field
+        # arrays stay.)
         for k in range(ray_depth):
-            s_orig[k] = state.origin
-            s_dir[k] = state.direction
-            s_thr[k] = state.throughput
-            s_md[k] = state.miss_dir
-            s_mt[k] = state.miss_thr
-            s_seed[k] = state.seed
-            s_alive[k] = state.alive
+            if ablate != "nostores":
+                s_orig[k] = state.origin
+                s_dir[k] = state.direction
+                s_thr[k] = state.throughput
+                s_md[k] = state.miss_dir
+                s_mt[k] = state.miss_thr
+                s_seed[k] = state.seed
+                s_alive[k] = state.alive
 
             def fwd_bounce(st, k=k):
-                _f, idx, _t, inside = fold(st.origin, st.direction)
-                s_widx[k] = idx
-                s_ins[k] = inside.astype(jnp.int32)
-                return bounce_from_hit(table_t, st, idx, inside)
+                found, idx, best_t, inside = fold(st.origin, st.direction)
+                if ablate != "nostores":
+                    s_widx[k] = idx
+                    s_ins[k] = inside.astype(jnp.int32)
+                winner = select_winner(idx)
+                trace = lambda o, d: (found, best_t, inside, winner)
+                return bounce_step(st, trace, russian_roulette=rr)
 
             if k == 0:
                 state = fwd_bounce(state)
             else:
-                # the skipped branch leaves s_widx/s_ins[k] stale — safe:
-                # the reverse sweep's all-dead cond (on s_alive[k], written
-                # unconditionally above) never reads them
+                # the skipped branch leaves the i32 slab stale — safe:
+                # the reverse sweep's all-dead cond (on the alive row of
+                # the unconditionally-written f32 slab) never reads it
                 state = jax.lax.cond(jnp.any(state.alive != 0),
                                      fwd_bounce, lambda st: st, state)
         seed = state.seed
@@ -405,7 +463,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
         lambda s: build_attr_table(s, counts), scene)
     table_t = table.T    # attribute-major for the kernel (_onehot_cols)
 
-    sphere_geom, _sphere_mat, cuboid_geom, _cuboid_mat = _scene_smem_arrays(scene)
+    sphere_geom, sphere_mat, cuboid_geom, cuboid_mat = _scene_smem_arrays(scene)
     frame_arr = jnp.asarray(frame, jnp.int32).reshape(1)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -428,7 +486,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     d_table, d_cam = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), table_spec,
+        in_specs=[smem(), smem(), smem(), smem(), smem(), smem(), table_spec,
                   tile_spec, tile_spec, vec3_spec, miss_spec, miss_spec],
         out_specs=(table_spec, smem()),
         out_shape=(
@@ -445,8 +503,8 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(frame_arr, cam20, sphere_geom, cuboid_geom, table_t, px, py,
-      g_rad, g_missd, g_misst)
+    )(frame_arr, cam20, sphere_geom, sphere_mat, cuboid_geom, cuboid_mat,
+      table_t, px, py, g_rad, g_missd, g_misst)
     d_table = d_table.T  # back to the build_attr_table row-major layout
 
     # Finite filter: rare degenerate lane configurations (observed ~1 pixel
