@@ -5,11 +5,14 @@ Pallas trace kernel (tpt.kernels.trace), the backward is a second Pallas
 kernel (``pallas_trace_grad``) that re-runs the tile's transport and
 transposes it with a HAND-WRITTEN reverse sweep:
 
-  * forward sweep: an unrolled walk re-runs the bounce chain, running the
-    closest-hit fold ONCE per bounce, and stores each bounce's INPUT carry
-    (origin/direction/throughput/miss fields/seed/alive) PLUS the fold's
-    1-int hit record (winner index + inside flag) into VMEM scratch —
-    ~90 KB per bounce per (8, 128) tile, ~1.2 MB at depth 13;
+  * forward sweep: an unrolled walk re-runs the bounce chain at
+    production-forward cost — the closest-hit fold runs ONCE per bounce
+    and the winner attributes come from the production kernel's
+    masked-select gather (the sweep only replays the primal, so the
+    differentiable one-hot machinery buys nothing there) — and stores
+    each bounce's INPUT carry (origin/direction/throughput/miss fields/
+    seed/alive) plus the fold's 1-int hit record into VMEM scratch
+    (~180 KB per bounce per (16, 128) tile at depth 13);
   * reverse sweep: a rolled ``fori_loop`` walks the bounces backwards;
     each step re-evaluates ONE bounce from its stored carry + hit record
     (tpt.integrator.onehot_hit_trace — NO re-fold: the 55-primitive scan
@@ -24,12 +27,12 @@ transposes it with a HAND-WRITTEN reverse sweep:
     (tpt.integrator.primary_ray — shared with trace_paths, so both paths
     linearize at the same primal) is vjp'd separately per sample, fed by
     the reverse sweep's origin/direction cotangents at bounce 0;
-  * winner attributes flow through an ATTRIBUTE-MAJOR MXU one-hot matmul
-    (tpt.integrator._onehot_cols): every attribute channel is a leading-
-    axis native-tile slice (the row-major r3 form lane-sliced a
-    minor-dim-24 array — ~24 cross-lane relayouts per bounce, the dominant
-    sweep cost), and the hand-phrased transpose is ONE [K, B] x [B, R]
-    MXU contraction per bounce;
+  * in the REVERSE sweep, winner attributes flow through an
+    ATTRIBUTE-MAJOR MXU one-hot matmul (tpt.integrator._onehot_cols):
+    every attribute channel is a leading-axis native-tile slice (the
+    row-major r3 form lane-sliced a minor-dim-24 array — ~24 cross-lane
+    relayouts per bounce, the dominant r3 cost), and the hand-phrased
+    transpose is ONE [K, B] x [B, R] MXU contraction per bounce;
   * parameter cotangents accumulate across grid steps into a
     constant-index output block (d_table_t f32[24, 128] — native lane
     width) and SMEM scalars
