@@ -90,3 +90,27 @@ def test_viewer_toggle_uses_file_skybox(tmp_path):
     # and a frame renders against it
     disp = ses.render_one()
     assert np.isfinite(disp).all()
+
+
+def test_bundled_skybox_asset_loads():
+    # the committed 6-PNG sRGB asset (tpt/assets/EnvironmentMap, generated
+    # by tools/make_skybox_asset.py) — the analogue of the reference's
+    # res/textures/EnvironmentMap set (src/MainWindow.cs:177-187)
+    import os
+    import numpy as np
+    import tpt.env as env
+    d = os.path.join(os.path.dirname(env.__file__), "assets",
+                     "EnvironmentMap")
+    assert os.path.isdir(d), "bundled skybox asset missing"
+    faces = np.asarray(env.bundled_skybox())
+    assert faces.ndim == 4 and faces.shape[0] == 6
+    assert faces.shape[1] == faces.shape[2] >= 64
+    assert np.isfinite(faces).all() and faces.min() >= 0.0
+    assert faces.std() > 0.05          # real art, not a constant
+    # sRGB was decoded to linear: the linear mean must sit below the
+    # encoded mean (gamma expansion darkens mid-tones)
+    raw = env.load_cubemap_files(
+        [os.path.join(d, f"{n}.png")
+         for n in ("posx", "negx", "posy", "negy", "posz", "negz")],
+        srgb=False)
+    assert float(faces.mean()) < float(np.asarray(raw).mean())

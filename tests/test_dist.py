@@ -234,3 +234,63 @@ def test_train_step_rr_off_backends_agree():
         losses[backend] = float(loss)
         assert np.isfinite(losses[backend])
     np.testing.assert_allclose(losses["kernel"], losses["oracle"], rtol=1e-5)
+
+
+def test_train_step_grads_kernel_vs_oracle_demo_scene():
+    """Demo-scene (48, 7) gradient parity across backends on the virtual
+    mesh: with lr=1 one bare-SGD step writes (old - grad) into the material
+    tables, so comparing the stepped tables compares the full psum'd
+    gradients of the sharded loss — kernel backward vs oracle AD."""
+    from tpt.scene import demo_scene
+    scene = demo_scene().build()
+    cam = CameraConfig()
+    cfg = RenderConfig(width=32, height=16, ray_depth=3, spp=1)
+    inv_p, inv_v, _ = camera.camera_matrices(cam, cfg.width, cfg.height)
+    env = constant_environment(ENV)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32) + 0.25
+    grads = {}
+    for backend in ("kernel", "oracle"):
+        mesh = make_mesh(dp=4, sp=2)
+        step = make_train_step(mesh, cfg, counts=(48, 7), backend=backend,
+                               russian_roulette=False)
+        new_scene, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
+                               cam.aperture_diameter, 0, target, 1.0)
+        gs = np.asarray(scene.sphere_material) - np.asarray(
+            new_scene.sphere_material)
+        gc = np.asarray(scene.cuboid_material) - np.asarray(
+            new_scene.cuboid_material)
+        assert np.isfinite(gs).all() and np.isfinite(gc).all()
+        grads[backend] = (gs, gc, float(loss))
+    np.testing.assert_allclose(grads["kernel"][2], grads["oracle"][2],
+                               rtol=1e-5)
+    for k in range(2):
+        w, g = grads["oracle"][k], grads["kernel"][k]
+        atol = 3e-4 * max(np.abs(w).max(), 1e-3)
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=atol)
+
+
+def test_banded_psum_grads_match_single_psum():
+    """psum_bands > 1 restructures the gradient all-reduce into per-sub-band
+    collectives (the DCN-overlap configuration); the resulting gradients
+    must match the autodiff-placed single psum."""
+    cam, scene, inv_p, inv_v, pos, env = setup()
+    cfg = RenderConfig(width=32, height=16, ray_depth=3, spp=1)
+    target = jnp.zeros((16, 32, 3), jnp.float32) + 0.25
+    stepped = {}
+    for bands in (1, 2):
+        mesh = make_mesh(dp=4, sp=2)
+        step = make_train_step(mesh, cfg, counts=(4, 5),
+                               russian_roulette=False, psum_bands=bands)
+        new_scene, loss = step(scene, env, inv_p, inv_v, cam.focal_length,
+                               cam.aperture_diameter, 0, target, 1.0)
+        stepped[bands] = (np.asarray(new_scene.sphere_material),
+                         np.asarray(new_scene.cuboid_material), float(loss))
+    np.testing.assert_allclose(stepped[1][2], stepped[2][2], rtol=1e-6)
+    # sub-band summation reorders float adds; tolerance, not bitwise
+    np.testing.assert_allclose(stepped[2][0], stepped[1][0],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(stepped[2][1], stepped[1][1],
+                               rtol=1e-5, atol=1e-7)
+    with pytest.raises(ValueError):
+        make_train_step(make_mesh(dp=4, sp=2), cfg, counts=(4, 5),
+                        psum_bands=3)  # 4 local rows not divisible by 3

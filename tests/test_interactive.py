@@ -74,7 +74,10 @@ def test_pick_and_edit_object(session):
     pos0 = np.asarray(obj.position)
     assert s.move_picked((0.5, 0.0, 0.0))
     assert np.allclose(self_pos(s), pos0 + [0.5, 0, 0])
-    # cross-clamp: spec 0.8 forces refr <= 0.2 (Gui.cs:193,205)
+    # cross-clamp (Gui.cs:193,205): each edit clamps ITSELF against the
+    # other parameter.  Zero refraction first so the spec edit lands whole,
+    # then refr 0.9 is clamped to 1 - spec = 0.2.
+    assert s.set_picked_material(refraction_chance=0.0)
     assert s.set_picked_material(specular_chance=0.8, refraction_chance=0.9)
     m = s._picked_obj().material
     assert m.specular_chance == pytest.approx(0.8)
@@ -86,6 +89,104 @@ def test_pick_and_edit_object(session):
 
 def self_pos(s):
     return np.asarray(s._picked_obj().position)
+
+
+def test_edit_clamps_edited_param_not_the_other(session):
+    # Gui.cs:190-206: the panel clamps the EDITED parameter against the
+    # untouched one.  Editing spec on a refr=0.9 object must clamp the spec
+    # edit to 0.1 and leave refraction at 0.9 (the constructor would have
+    # rewritten refraction to 0.1 instead).
+    s = session
+    assert s.pick(s.cfg.width / 2, s.cfg.height / 2) is not None
+    assert s.set_picked_material(specular_chance=0.0)
+    assert s.set_picked_material(refraction_chance=0.9)
+    assert s.set_picked_material(specular_chance=0.5)
+    m = s._picked_obj().material
+    assert m.specular_chance == pytest.approx(0.1)
+    assert m.refraction_chance == pytest.approx(0.9)
+    # slider-range clamps (Gui.cs:196-209)
+    assert s.set_picked_material(ior=7.0)
+    assert s._picked_obj().material.ior == pytest.approx(5.0)
+    assert s.set_picked_material(specular_roughness=1.7)
+    assert s._picked_obj().material.specular_roughness == pytest.approx(1.0)
+    with pytest.raises(TypeError):
+        s.set_picked_material(no_such_param=1.0)
+    # restore a sane material for later tests
+    s.set_picked_material(refraction_chance=0.0, specular_chance=0.0)
+
+
+def test_set_picked_position_and_distance(session):
+    s = session
+    assert s.pick(s.cfg.width / 2, s.cfg.height / 2) is not None
+    assert s.set_picked_position((1.0, 2.0, 3.0))
+    assert np.allclose(self_pos(s), [1.0, 2.0, 3.0])
+    # Gui.cs:161 distance readout = |picked.pos - camera.pos|
+    expect = np.linalg.norm(np.asarray([1.0, 2.0, 3.0])
+                            - np.asarray(s.cam.position))
+    assert s.picked_distance == pytest.approx(expect)
+    s.picked = None
+    assert not s.set_picked_position((0, 0, 0))
+    assert np.isnan(s.picked_distance)
+
+
+def test_object_panel_drives_picked_object(session):
+    # GameObjectProperties widget analogue (Gui.cs:153-218), headless
+    from tpt.interactive import ObjectPanel
+    s = session
+    panel = ObjectPanel(s)
+    # nothing picked: edits are no-ops
+    s.picked = None
+    panel.refresh()
+    assert "nothing" in panel.t_distance.get_text()
+    panel.s_spec.set_val(0.7)  # guarded: no crash, no pick
+    # pick, refresh, and verify the widgets mirror the object
+    obj = s.pick(s.cfg.width / 2, s.cfg.height / 2)
+    assert obj is not None
+    panel.refresh()
+    assert f"{s.picked_distance:.3f}" in panel.t_distance.get_text()
+    assert panel.s_ior.val == pytest.approx(obj.material.ior)
+    # slider edit -> session edit with the reference cross-clamp
+    panel.s_refr.set_val(0.0)
+    panel.s_spec.set_val(0.8)
+    assert s._picked_obj().material.specular_chance == pytest.approx(0.8)
+    panel.s_refr.set_val(0.9)  # clamped against spec -> 0.2
+    assert s._picked_obj().material.refraction_chance == pytest.approx(0.2)
+    assert panel.s_refr.val == pytest.approx(0.2)  # clamp echoed back
+    # vec3 text boxes (InputFloat3 / DragFloat3 analogues)
+    panel.t_albedo.set_val("0.1, 0.2, 0.3")
+    assert s._picked_obj().material.albedo == pytest.approx((0.1, 0.2, 0.3))
+    panel.t_position.set_val("4, 5, 6")
+    assert np.allclose(self_pos(s), [4, 5, 6])
+    panel.t_emissive.set_val("not a number")  # ignored, no crash
+    assert s._picked_obj().material.emissive == pytest.approx((0.0, 0.0, 0.0))
+    s.reload_scene()
+
+
+def test_frame_stats_window():
+    from tpt.interactive import FrameStats
+    st = FrameStats(now=100.0)
+    st.note_update()
+    st.note_frames(30, spp=2)
+    assert not st.sample(100.5)      # window not rolled yet
+    assert st.sample(101.0)
+    assert st.fps == pytest.approx(30.0)
+    assert st.ups == pytest.approx(1.0)
+    assert st.sps == pytest.approx(60.0)  # Gui.cs:37: FPS * SPP
+    assert st.sample(102.0)          # empty second -> zeros
+    assert st.fps == 0.0
+
+
+def test_render_one_fused_frames(session):
+    # render_one(n_frames=k) folds k frames in one program (the production
+    # fused path) and keeps the host frame mirror in sync
+    s = session
+    s.invalidate()
+    s.render_one(n_frames=3)
+    assert int(s.acc.frame) == 3
+    assert s.samples_per_pixel == 3 * s.cfg.spp
+    disp = s.render_one()
+    assert int(s.acc.frame) == 4
+    assert disp.shape == (s.cfg.height, s.cfg.width, 3)
 
 
 def test_randomize_grid_and_scene_rebuild(session):

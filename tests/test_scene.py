@@ -21,6 +21,27 @@ def test_material_clamping():
     assert m2.refraction_chance == pytest.approx(0.7)
 
 
+def test_edit_material_gui_clamp_semantics():
+    # GameObjectProperties edits clamp the EDITED parameter against the
+    # untouched one (src/Render/Gui.cs:190-206) — unlike the constructor,
+    # which rewrites refraction to fit 1-spec (src/Material.cs:26-29)
+    from tpt.materials import edit_material
+    glass = Material.make((1, 1, 1), (0, 0, 0), (0, 0, 0), 0.0, 0.0,
+                          1.1, 0.9, 0.0)
+    m = edit_material(glass, specular_chance=0.5)
+    assert m.specular_chance == pytest.approx(0.1)   # clamped to 1 - refr
+    assert m.refraction_chance == pytest.approx(0.9)  # untouched
+    m = edit_material(glass, refraction_chance=1.3)
+    assert m.refraction_chance == pytest.approx(1.0)  # spec is 0 here
+    # slider ranges (Gui.cs:196-209) and InputFloat3 passthrough
+    m = edit_material(glass, ior=0.2, specular_roughness=-1.0,
+                      albedo=(2.0, 3.0, 4.0))
+    assert m.ior == 1.0 and m.specular_roughness == 0.0
+    assert m.albedo == (2.0, 3.0, 4.0)
+    with pytest.raises(TypeError):
+        edit_material(glass, bogus=1.0)
+
+
 def test_material_layout_roundtrip():
     m = Material.make((0.1, 0.2, 0.3), (1, 2, 3), (0.5, 0.6, 0.7),
                       0.25, 0.4, 1.33, 0.5, 0.9)

@@ -49,10 +49,11 @@ def _build_env(args):
         paths = args.cubemap_files.split(",")
         return load_cubemap_files(paths)
     if args.env == "skybox":
-        # procedural stand-in for the reference's bundled 6-PNG skybox
-        # (src/MainWindow.cs:177-187) — see tpt.env.default_skybox
-        from .env import default_skybox
-        return default_skybox()
+        # the bundled 6-PNG sRGB asset, like the reference's
+        # res/textures/EnvironmentMap (src/MainWindow.cs:177-187);
+        # falls back to the procedural tpt.env.default_skybox
+        from .env import bundled_skybox
+        return bundled_skybox()
     raise SystemExit(f"unknown env '{args.env}'")
 
 

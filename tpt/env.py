@@ -289,6 +289,25 @@ def default_skybox(size: int = 64) -> jnp.ndarray:
     return jnp.asarray(color.astype(np.float32))
 
 
+def bundled_skybox() -> jnp.ndarray:
+    """The committed 6-PNG sRGB skybox asset (tpt/assets/EnvironmentMap/).
+
+    The reference ships image faces at res/textures/EnvironmentMap/*.png and
+    loads them with hardware sRGB decode (src/MainWindow.cs:177-187,
+    src/Helper.cs:18-50); ours is original art generated from tpt.sky's
+    atmosphere model (tools/make_skybox_asset.py) and loaded through the
+    same file path + sRGB-decode machinery.  Falls back to the procedural
+    :func:`default_skybox` if the asset files are missing (e.g. a stripped
+    install)."""
+    import os
+    d = os.path.join(os.path.dirname(__file__), "assets", "EnvironmentMap")
+    paths = [os.path.join(d, f"{n}.png")
+             for n in ("posx", "negx", "posy", "negy", "posz", "negz")]
+    if all(os.path.exists(p) for p in paths):
+        return load_cubemap_files(paths)
+    return default_skybox()
+
+
 def srgb_to_linear(rgb):
     """Inverse gamma, exact shader formula (compute.glsl:366-369)."""
     rgb = jnp.asarray(rgb, jnp.float32)

@@ -74,6 +74,12 @@ class ViewerSession:
         self.picked = None  # (kind str, index int) into builder lists
         self.screenshot_dir = screenshot_dir
         self.frame_changed = False
+        # host mirror of acc.frame: lets the fused render path seed frames
+        # and the status line report samples/px without a device fetch
+        # (each fetch costs ~40 ms under a TPU tunnel)
+        self._frame_host = 0
+        self._env_table = None      # pack_block_table cache, keyed on
+        self._env_table_src = None  # the env_faces array identity
 
     # ---- environment (Gui.cs:80-144) ----
     def _make_env(self):
@@ -91,11 +97,12 @@ class ViewerSession:
                 from .env import load_cubemap_files
                 self._skybox = load_cubemap_files(self.cubemap_files)
             else:
-                # the reference ships a 6-PNG environment map
-                # (src/MainWindow.cs:177-187); with no files we synthesize
-                # an equivalent non-constant default (tpt.env.default_skybox)
-                from .env import default_skybox
-                self._skybox = default_skybox()
+                # the bundled 6-PNG sRGB asset, loaded through the same
+                # file path the reference uses for res/textures/
+                # EnvironmentMap (src/MainWindow.cs:177-187); procedural
+                # fallback inside if the asset is missing
+                from .env import bundled_skybox
+                self._skybox = bundled_skybox()
         return self._skybox
 
     # the reference's EnvironmentMap resolution combo (Gui.cs:93-112)
@@ -211,23 +218,37 @@ class ViewerSession:
         return True
 
     def set_picked_material(self, **params) -> bool:
-        """Edit the picked object's material with the reference GUI's
-        cross-clamping (spec in [0,1]; refr in [0, 1-spec]; IOR >= 1)."""
-        from .materials import Material
+        """Edit the picked object's material with the reference panel's
+        per-edit clamp semantics (Gui.cs:190-206): the EDITED parameter is
+        clamped against the untouched one — editing specular_chance on a
+        glass object clamps the spec edit to 1-refr and leaves
+        refraction_chance alone (the constructor would rewrite refraction
+        instead)."""
+        from .materials import edit_material
         obj = self._picked_obj()
         if obj is None:
             return False
-        m = obj.material
-        vals = dict(albedo=m.albedo, emissive=m.emissive,
-                    absorbance=m.absorbance,
-                    specular_chance=m.specular_chance,
-                    specular_roughness=m.specular_roughness, ior=m.ior,
-                    refraction_chance=m.refraction_chance,
-                    refraction_roughness=m.refraction_roughness)
-        vals.update(params)
-        obj.material = Material.make(**vals)
+        obj.material = edit_material(obj.material, **params)
         self._rebuild()
         return True
+
+    def set_picked_position(self, position3) -> bool:
+        """The panel's Position DragFloat3 (Gui.cs:164-168): set verbatim."""
+        obj = self._picked_obj()
+        if obj is None:
+            return False
+        obj.position = tuple(map(float, position3))
+        self._rebuild()
+        return True
+
+    @property
+    def picked_distance(self) -> float:
+        """Camera-to-picked-object distance readout (Gui.cs:161)."""
+        obj = self._picked_obj()
+        if obj is None:
+            return float("nan")
+        return float(np.linalg.norm(np.asarray(obj.position)
+                                    - np.asarray(self.cam.position)))
 
     def randomize_picked_material(self) -> bool:
         from .materials import random_material
@@ -267,28 +288,67 @@ class ViewerSession:
         self.cfg = dataclasses.replace(self.cfg, width=int(width),
                                        height=int(height))
         self.acc = init_accumulator(self.cfg.height, self.cfg.width)
+        self._frame_host = 0
 
     # ---- accumulation ----
     def invalidate(self):
         from . import reset
         self.acc = reset(self.acc)
+        self._frame_host = 0
 
-    def render_one(self):
-        """Render + accumulate one progressive frame; returns the display
-        (post-processed sRGB) image as a numpy array."""
-        from . import accumulate
-        from .kernels.render import render_frame
+    @property
+    def env_table(self):
+        """Blocked env-gather table for the fused render path, rebuilt only
+        when the environment changes (the reference's analogue is
+        re-uploading the cubemap texture)."""
+        if self._env_table_src is not self.env_faces:
+            from .env import pack_block_table
+            self._env_table = pack_block_table(self.env_faces)
+            self._env_table_src = self.env_faces
+        return self._env_table
+
+    def _static_counts(self):
+        """Specialize the kernel's primitive loops to the scene counts on
+        TPU (fully unrolled scan, ~1.5x; the viewer never adds/removes
+        objects so the counts are stable).  Off-TPU the interpreter-mode
+        kernel would pay a compile-time explosion — keep dynamic there,
+        matching tpt.cli."""
+        import jax
+        if self.cfg.static_counts is not None:
+            return self.cfg.static_counts
+        if jax.default_backend() == "tpu":
+            return (int(self.scene.num_spheres), int(self.scene.num_cuboids))
+        return None
+
+    def render_one(self, n_frames: int = 1):
+        """Fold ``n_frames`` progressive frames into the accumulator in ONE
+        device program (the production fused path: Pallas trace -> blocked
+        env gather -> donated accumulate, kernels.render.progressive_frames)
+        and return the display (post-processed sRGB) image as a numpy array.
+        One launch + one host sync per draw — the same per-frame cost
+        profile as the reference's render loop (src/MainWindow.cs:40-69)."""
+        import jax.numpy as jnp
+        from .camera import camera_matrices
+        from .kernels.render import progressive_frames
         from .postfx import post_process
         cam_cfg = self.cam.to_config(self.base_cam)
-        image, _rays = render_frame(self.scene, self.env_faces, cam_cfg,
-                                    self.cfg, int(self.acc.frame))
-        self.acc = accumulate(self.acc, image)
+        inv_p, inv_v, _pos = camera_matrices(cam_cfg, self.cfg.width,
+                                             self.cfg.height)
+        self.acc, _rays = progressive_frames(
+            self.acc, self.scene, self.env_table, inv_p, inv_v,
+            jnp.int32(self._frame_host), jnp.float32(cam_cfg.focal_length),
+            jnp.float32(cam_cfg.aperture_diameter),
+            width=self.cfg.width, height=self.cfg.height,
+            ray_depth=self.cfg.ray_depth, spp=self.cfg.spp,
+            counts=self._static_counts(), n_frames=n_frames,
+            jitter=self.cfg.jitter)
+        self._frame_host += n_frames
         return np.asarray(post_process(self.acc.image))
 
     def screenshot(self) -> str:
         from .postfx import post_process
         from .utils import write_png
-        n = int(self.acc.frame) * self.cfg.spp
+        n = self.samples_per_pixel
         os.makedirs(self.screenshot_dir, exist_ok=True)
         path = os.path.join(self.screenshot_dir, f"Samples_{n}.png")
         write_png(path, np.asarray(post_process(self.acc.image)))
@@ -296,7 +356,8 @@ class ViewerSession:
 
     @property
     def samples_per_pixel(self) -> int:
-        return int(self.acc.frame) * self.cfg.spp
+        # host mirror of acc.frame — no device fetch in the status line
+        return self._frame_host * self.cfg.spp
 
     @property
     def f_number(self) -> float:
@@ -378,6 +439,157 @@ class ControlPanel:
         self.b_reload = button(12, "Reload scene", ses.reload_scene)
 
 
+class ObjectPanel:
+    """GameObjectProperties window analogue (src/Render/Gui.cs:153-218):
+    camera-distance readout, Position DragFloat3, Albedo/Emissiv/
+    AbsorbanceColor InputFloat3s, and the five material sliders with the
+    reference's ranges and per-edit cross-clamping — all driving a
+    ViewerSession's picked object.
+
+    The reference shows the window only while an object is picked; here the
+    panel always exists and :meth:`refresh` re-reads the current pick (the
+    viewer calls it after every click).  Headless-testable under Agg the
+    same way ControlPanel is (Slider.set_val / TextBox.set_val fire the
+    drag/submit callbacks).
+    """
+
+    def __init__(self, ses: "ViewerSession", fig=None):
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import Slider, TextBox
+
+        self.ses = ses
+        self._updating = False  # guard: refresh() must not re-enter edits
+        self.fig = fig or plt.figure(figsize=(4.2, 4.6))
+        if hasattr(self.fig.canvas.manager, "set_window_title"):
+            self.fig.canvas.manager.set_window_title("tpt object")
+
+        def row(i, h=0.05):
+            return self.fig.add_axes([0.34, 0.92 - i * 0.085, 0.56, h])
+
+        # distance readout (Gui.cs:161)
+        self.t_distance = self.fig.text(0.06, 0.965, "picked: nothing")
+
+        def vec3_box(i, label, cb):
+            box = TextBox(row(i), label, initial="0, 0, 0")
+            box.on_submit(lambda text: self._edit_vec3(text, cb))
+            return box
+
+        # Position DragFloat3 + the three InputFloat3s (Gui.cs:164-188)
+        self.t_position = vec3_box(1, "Position", ses.set_picked_position)
+        self.t_albedo = vec3_box(
+            2, "Albedo", lambda v: ses.set_picked_material(albedo=v))
+        self.t_emissive = vec3_box(
+            3, "Emissiv", lambda v: ses.set_picked_material(emissive=v))
+        self.t_absorbance = vec3_box(
+            4, "AbsorbanceColor",
+            lambda v: ses.set_picked_material(absorbance=v))
+
+        def slider(i, label, lo, hi, key):
+            s = Slider(row(i, h=0.04), label, lo, hi, valinit=lo)
+            s.on_changed(lambda v: self._edit_scalar(key, v, s))
+            return s
+
+        # the five sliders, reference ranges (Gui.cs:191-209)
+        self.s_spec = slider(5, "SpecularChance", 0.0, 1.0,
+                             "specular_chance")
+        self.s_spec_rough = slider(6, "SpecularRoughness", 0.0, 1.0,
+                                   "specular_roughness")
+        self.s_ior = slider(7, "IndexOfRefraction", 1.0, 5.0, "ior")
+        self.s_refr = slider(8, "RefractionChance", 0.0, 1.0,
+                             "refraction_chance")
+        self.s_refr_rough = slider(9, "RefractionRoughnes", 0.0, 1.0,
+                                   "refraction_roughness")
+
+    def _edit_vec3(self, text, cb):
+        if self._updating or self.ses.picked is None:
+            return
+        try:
+            v = tuple(float(p) for p in text.replace(",", " ").split())
+        except ValueError:
+            return
+        if len(v) == 3:
+            cb(v)
+            self.refresh()
+
+    def _edit_scalar(self, key, value, slider):
+        if self._updating or self.ses.picked is None:
+            return
+        self.ses.set_picked_material(**{key: float(value)})
+        # show the post-clamp value (the reference writes the clamped value
+        # back into the ImGui field the same way, Gui.cs:193,205)
+        actual = getattr(self.ses._picked_obj().material, key)
+        if abs(actual - float(value)) > 1e-9:
+            self._set_val(slider, actual)
+
+    def _set_val(self, widget, value):
+        self._updating = True
+        try:
+            widget.set_val(value)
+        finally:
+            self._updating = False
+
+    def refresh(self):
+        """Re-read the picked object into the widgets (call after a pick)."""
+        obj = self.ses._picked_obj()
+        if obj is None:
+            self.t_distance.set_text("picked: nothing")
+            return
+        m = obj.material
+        self.t_distance.set_text(
+            f"picked: {type(obj).__name__}   "
+            f"Distance {self.ses.picked_distance:.3f}")
+
+        def fmt(v3):
+            return ", ".join(f"{c:.4g}" for c in v3)
+
+        self._set_val(self.t_position, fmt(obj.position))
+        self._set_val(self.t_albedo, fmt(m.albedo))
+        self._set_val(self.t_emissive, fmt(m.emissive))
+        self._set_val(self.t_absorbance, fmt(m.absorbance))
+        self._set_val(self.s_spec, m.specular_chance)
+        self._set_val(self.s_spec_rough, m.specular_roughness)
+        self._set_val(self.s_ior, m.ior)
+        self._set_val(self.s_refr, m.refraction_chance)
+        self._set_val(self.s_refr_rough, m.refraction_roughness)
+
+
+class FrameStats:
+    """FPS/UPS counters refreshed once per second, like the reference's
+    window title (src/MainWindow.cs:71-82), plus the derived
+    Samples/Pixel/Second = FPS * SPP stat (src/Render/Gui.cs:36-37).
+    ``note_frames`` counts *rendered* frames (a fused draw folds several),
+    ``note_update`` counts input ticks."""
+
+    def __init__(self, now: float = 0.0):
+        self.fps = 0.0    # rendered frames/s over the last whole second
+        self.ups = 0.0    # update ticks/s
+        self.sps = 0.0    # samples/pixel/second = frames/s * spp
+        self._frames = 0
+        self._updates = 0
+        self._spp = 1
+        self._t0 = now
+
+    def note_frames(self, n: int, spp: int = 1):
+        self._frames += n
+        self._spp = spp
+
+    def note_update(self):
+        self._updates += 1
+
+    def sample(self, now: float) -> bool:
+        """Roll the 1 s window; returns True when the stats were refreshed."""
+        dt = now - self._t0
+        if dt < 1.0:
+            return False
+        self.fps = self._frames / dt
+        self.ups = self._updates / dt
+        self.sps = self.fps * self._spp
+        self._frames = 0
+        self._updates = 0
+        self._t0 = now
+        return True
+
+
 def run_viewer(scene_name: str = "demo", size: int = 256,
                env_name: str = "atmosphere", frames_per_draw: int = 1,
                cubemap_files=None, panel: bool = False) -> int:
@@ -391,6 +603,7 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
                         cubemap_files=cubemap_files)
     # keep a strong reference: matplotlib widgets die when collected
     control_panel = ControlPanel(ses) if panel else None  # noqa: F841
+    object_panel = ObjectPanel(ses) if panel else None
     keys_down = set()
     fig, ax = plt.subplots(figsize=(6, 6))
     im = ax.imshow(np.zeros((ses.cfg.height, ses.cfg.width, 3)),
@@ -467,6 +680,8 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
             else:
                 print(f"picked: {type(obj).__name__} at {obj.position}: "
                       f"{obj.material}")
+            if object_panel is not None:
+                object_panel.refresh()
         drag["pos"] = None
 
     fig.canvas.mpl_connect("key_press_event", lambda e: on_key(e, True))
@@ -476,6 +691,8 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
     fig.canvas.mpl_connect("button_release_event", on_release)
 
     last = time.time()
+    stats = FrameStats(last)
+    stats_txt = ""
     while plt.fignum_exists(fig.number):
         now = time.time()
         dt = min(now - last, 0.1)
@@ -483,10 +700,18 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
         delta = drag["delta"]
         drag["delta"] = (0.0, 0.0)
         ses.tick(dt, keys_down, delta)
-        for _ in range(frames_per_draw):
-            disp = ses.render_one()
+        stats.note_update()
+        # the fused production path: frames_per_draw frames in ONE device
+        # program + one host sync, instead of a Python loop of launches
+        disp = ses.render_one(n_frames=frames_per_draw)
+        stats.note_frames(frames_per_draw, ses.cfg.spp)
         im.set_data(disp)
-        status.set_text(f"samples/px: {ses.samples_per_pixel}   "
+        if stats.sample(time.time()):
+            # FPS/UPS + samples-per-pixel-per-second, 1 s refresh
+            # (MainWindow.cs:71-82, Gui.cs:36-37)
+            stats_txt = (f"FPS {stats.fps:.0f}  UPS {stats.ups:.0f}  "
+                         f"SPS {stats.sps:.0f}   ")
+        status.set_text(f"{stats_txt}samples/px: {ses.samples_per_pixel}   "
                         f"pos: {np.round(ses.cam.position, 2)}   "
                         f"f/{ses.f_number:.1f}   "
                         f"atmo {ses.atmosphere_ms:.0f} ms")

@@ -101,6 +101,38 @@ class Material:
         )
 
 
+def edit_material(m: Material, **params) -> Material:
+    """Apply GUI-panel edits with the reference's per-edit clamp semantics
+    (GameObjectProperties window, src/Render/Gui.cs:156-218).
+
+    Unlike the constructor (src/Material.cs:26-29), which always rewrites
+    refraction_chance to fit 1-spec, the panel clamps the *edited*
+    parameter against the untouched one and leaves the other alone:
+
+      specular_chance   -> clamp(v, 0, 1 - refraction_chance)  (Gui.cs:193)
+      refraction_chance -> clamp(v, 0, 1 - specular_chance)    (Gui.cs:205)
+
+    Roughnesses and IOR land in their slider ranges ([0,1] / [1,5],
+    Gui.cs:196-201); the color triples (InputFloat3) are set verbatim.
+    Edits apply sequentially in the order given.
+    """
+    for key, value in params.items():
+        if key in ("albedo", "emissive", "absorbance"):
+            value = tuple(map(float, value))
+        elif key == "specular_chance":
+            value = float(np.clip(value, 0.0, 1.0 - m.refraction_chance))
+        elif key == "refraction_chance":
+            value = float(np.clip(value, 0.0, 1.0 - m.specular_chance))
+        elif key in ("specular_roughness", "refraction_roughness"):
+            value = float(np.clip(value, 0.0, 1.0))
+        elif key == "ior":
+            value = float(np.clip(value, 1.0, 5.0))
+        else:
+            raise TypeError(f"unknown material parameter {key!r}")
+        m = dataclasses.replace(m, **{key: value})
+    return m
+
+
 def random_material(rng: np.random.Generator) -> Material:
     """Random material a la Material.GetRndMaterial (src/Material.cs:54-58):
     20% chance emissive; spec/refr chances drawn in [0, 0.5)."""

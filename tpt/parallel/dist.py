@@ -167,12 +167,20 @@ def trainable_filter_grads(grads: Scene) -> Scene:
 
 def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
                     counts: Tuple[int, int] = None, param_mask=None,
-                    backend: str = "kernel", russian_roulette: bool = True):
+                    backend: str = "kernel", russian_roulette: bool = True,
+                    optimizer=None, psum_bands: int = 1):
     """Inverse-rendering step: pixel-MSE against a target image, gradient
     descent on the material tables (BASELINE.json config 5).
 
-    Returns jit(fn)(scene, env_faces, inv_proj, inv_view, focal, aperture,
+    With ``optimizer=None`` (bare SGD):
+    returns jit(fn)(scene, env_faces, inv_proj, inv_view, focal, aperture,
     frame, target f32[H,W,3], lr) -> (new_scene, loss).
+
+    With ``optimizer`` an optax GradientTransformation (e.g.
+    tpt.optim.clipped_adam()): the step takes ``opt_state`` instead of
+    ``lr`` and returns (new_scene, new_opt_state, loss); initialize with
+    ``optimizer.init((scene.sphere_material, scene.cuboid_material))`` and
+    checkpoint/resume via tpt.optim.save_optim_checkpoint.
 
     ``param_mask``: optional (sphere_mask, cuboid_mask) 0/1 arrays shaped
     like the material tables; entries with mask 0 stay frozen.
@@ -185,6 +193,12 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
     transposes the psum-mean into broadcast and the replicated-scene reads
     into a cross-mesh gradient psum — the all-reduce the SURVEY's
     parallelism table calls for, riding ICI.
+
+    ``psum_bands``: split each device's row band into this many sub-bands,
+    each with its OWN gradient psum (see banded_grad_block below) so the
+    collective for one band can overlap the next band's backward over
+    ICI/DCN — the SURVEY §7(g) overlap.  1 = the classic single psum
+    placed by autodiff after the whole backward.
 
     ``russian_roulette=False`` selects fixed-depth differentiable
     transport: RR'd pixel values depend only on albedo RATIOS (the RR
@@ -261,6 +275,99 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
         sse = jax.lax.psum(jnp.sum(err * err), "dp")
         return sse / np.float32(height * width * 3)
 
+    if rows_local % psum_bands:
+        raise ValueError(f"psum_bands {psum_bands} must divide the local "
+                         f"row band ({rows_local} rows at dp={dp})")
+    rows_sub = rows_local // psum_bands
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P("dp", None, None)),
+        out_specs=(P(), P(), P()),
+    )
+    def banded_grad_block(scene, env, inv_proj, inv_view, focal, aperture,
+                          frame, target_block):
+        """Per-device loss AND material-table gradients, with the gradient
+        all-reduce split into ``psum_bands`` independent per-sub-band psums.
+
+        The single-psum path (autodiff through the shard_map boundary) emits
+        ONE parameter psum strictly after the whole backward; splitting the
+        device's row band gives XLA ``psum_bands`` independent
+        backward->psum chains, so the collective for sub-band b can ride
+        ICI/DCN while sub-band b+1's backward computes — the overlap
+        SURVEY §7(g) calls for.  The cotangent per band is the two material
+        tables (48+7 rows x 16 floats ~ 3.5 KB) — latency-, not
+        bandwidth-bound, which is exactly when overlap pays on DCN.
+        """
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        c = counts or (256, 64)
+        sm0, cm0 = scene.sphere_material, scene.cuboid_material
+
+        total = jnp.float32(0.0)
+        g_sm = jnp.zeros_like(sm0)
+        g_cm = jnp.zeros_like(cm0)
+        for b in range(psum_bands):
+            y0b = dp_idx * rows_local + b * rows_sub
+            target_sub = target_block[b * rows_sub:(b + 1) * rows_sub]
+            py = y0b + jax.lax.broadcasted_iota(
+                jnp.int32, (rows_sub, width), 0)
+            valid = (py < height).astype(jnp.float32)
+
+            def acc_fn(sm, cm, y0b=y0b, py=py):
+                """This shard's sample-group radiance sum for sub-band b —
+                the only part autodiff touches.  No collective inside: the
+                MSE cotangent is handed to its vjp analytically below, so
+                nothing ever transposes a psum (grad-through-psum under
+                check_vma=False double-counts the sp axis)."""
+                s = dataclasses.replace(scene, sphere_material=sm,
+                                        cuboid_material=cm)
+                acc = jnp.zeros((3, rows_sub, width), jnp.float32)
+                for g in range(groups_per_shard):
+                    group_id = sp_idx * groups_per_shard + g
+                    frame_eff = frame * groups + group_id
+                    if backend == "kernel":
+                        from ..kernels.trace_grad import trace_diff
+                        res = trace_diff(s, inv_proj, inv_view, frame_eff,
+                                         focal, aperture, y0b, width, height,
+                                         ray_depth, spp, c, rows_sub, jitter,
+                                         russian_roulette)
+                        acc = acc + apply_environment_blocked(res, env, spp)
+                    else:
+                        pyc = jnp.minimum(py, height - 1)
+                        px = jax.lax.broadcasted_iota(
+                            jnp.int32, (rows_sub, width), 1)
+                        scan = make_scene_scan_fn(s, counts=c)
+                        gather = make_xla_gather_fn(s)
+                        cam = camera_params(inv_proj, inv_view, focal,
+                                            aperture)
+                        res = trace_paths(compose_trace_fn(scan, gather),
+                                          cam, px, pyc, width, height,
+                                          frame_eff, ray_depth, spp,
+                                          jitter=jitter,
+                                          russian_roulette=russian_roulette)
+                        acc = acc + apply_environment(res, env, spp)
+                return acc
+
+            acc_local, vjp_fn = jax.vjp(acc_fn, sm0, cm0)
+            image = jnp.moveaxis(
+                jax.lax.psum(acc_local, "sp") / np.float32(groups), 0, -1)
+            err = (image - target_sub) * valid[..., None]
+            sse_b = jnp.sum(err * err)
+            # d(sse)/d(acc_local) by hand: 2*err through the sp-mean
+            ct = jnp.moveaxis(2.0 * err, -1, 0) / np.float32(groups)
+            gs, gc = vjp_fn(ct)
+            # THE banded all-reduce: one independent collective per band,
+            # free to overlap band b+1's backward
+            g_sm = g_sm + jax.lax.psum(gs, ("dp", "sp"))
+            g_cm = g_cm + jax.lax.psum(gc, ("dp", "sp"))
+            total = total + jax.lax.psum(sse_b, "dp")
+
+        scale = np.float32(height * width * 3)
+        # acc_fn vjps carry the raw SSE cotangent; the loss normalization
+        # is a constant factor, applied once here
+        return total / scale, g_sm / scale, g_cm / scale
+
     def loss_fn(params, scene, env_faces, inv_proj, inv_view, focal, aperture,
                 frame, target):
         # differentiate w.r.t. the material tables only (float leaves)
@@ -274,21 +381,57 @@ def make_train_step(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = None,
         return loss_block(scene, env, inv_proj, inv_view, focal,
                           aperture, frame, target_pad)
 
-    @jax.jit
-    def step(scene, env_faces, inv_proj, inv_view, focal, aperture,
-             frame, target, lr):
-        params = (scene.sphere_material, scene.cuboid_material)
-        loss, (g_sphere, g_cuboid) = jax.value_and_grad(loss_fn)(
-            params, scene, env_faces, inv_proj, inv_view, jnp.float32(focal),
-            jnp.float32(aperture), jnp.int32(frame), target)
+    def _grads(scene, env_faces, inv_proj, inv_view, focal, aperture,
+               frame, target):
+        if psum_bands > 1:
+            pad = hpad - height
+            target_pad = jnp.pad(target, ((0, pad), (0, 0), (0, 0)))
+            env = (pack_block_table(env_faces) if backend == "kernel"
+                   else env_faces)
+            loss, g_sphere, g_cuboid = banded_grad_block(
+                scene, env, inv_proj, inv_view, jnp.float32(focal),
+                jnp.float32(aperture), jnp.int32(frame), target_pad)
+        else:
+            params = (scene.sphere_material, scene.cuboid_material)
+            loss, (g_sphere, g_cuboid) = jax.value_and_grad(loss_fn)(
+                params, scene, env_faces, inv_proj, inv_view,
+                jnp.float32(focal), jnp.float32(aperture), jnp.int32(frame),
+                target)
         if param_mask is not None:
             g_sphere = g_sphere * param_mask[0]
             g_cuboid = g_cuboid * param_mask[1]
-        new_scene = dataclasses.replace(
-            scene,
-            sphere_material=scene.sphere_material - lr * g_sphere,
-            cuboid_material=scene.cuboid_material - lr * g_cuboid,
-        )
-        return new_scene, loss
+        return loss, g_sphere, g_cuboid
 
-    return step
+    if optimizer is None:
+        @jax.jit
+        def step(scene, env_faces, inv_proj, inv_view, focal, aperture,
+                 frame, target, lr):
+            loss, g_sphere, g_cuboid = _grads(
+                scene, env_faces, inv_proj, inv_view, focal, aperture,
+                frame, target)
+            new_scene = dataclasses.replace(
+                scene,
+                sphere_material=scene.sphere_material - lr * g_sphere,
+                cuboid_material=scene.cuboid_material - lr * g_cuboid,
+            )
+            return new_scene, loss
+
+        return step
+
+    import optax
+
+    @jax.jit
+    def opt_step(scene, env_faces, inv_proj, inv_view, focal, aperture,
+                 frame, target, opt_state):
+        loss, g_sphere, g_cuboid = _grads(
+            scene, env_faces, inv_proj, inv_view, focal, aperture,
+            frame, target)
+        params = (scene.sphere_material, scene.cuboid_material)
+        updates, opt_state = optimizer.update(
+            (g_sphere, g_cuboid), opt_state, params)
+        sphere_mat, cuboid_mat = optax.apply_updates(params, updates)
+        new_scene = dataclasses.replace(
+            scene, sphere_material=sphere_mat, cuboid_material=cuboid_mat)
+        return new_scene, opt_state, loss
+
+    return opt_step
