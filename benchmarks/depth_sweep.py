@@ -61,6 +61,37 @@ def main() -> int:
         med = float(np.median(ts))
         print(f"depth {depth:2d}: {med*1e3:6.1f} ms/frame (incl. sync)  "
               f"segs {np.mean(cs)/1e6:5.2f}M", flush=True)
+
+    # --- refill kernel: the r5 answer to the dead-work tail ---
+    # Per-frame cost should FLATTEN once segments saturate (~depth 8):
+    # lanes drain a 30-frame sample queue back-to-back, so added depth
+    # only lengthens the rare deep paths, not every lane's iteration
+    # count.  (The per-frame kernel above keeps growing ~1.8 ms/bounce.)
+    from tpt.kernels.trace import pallas_trace_progressive
+    F = 30
+    print("refill kernel (30-frame blocks):", flush=True)
+    for depth in (4, 8, 13, 20):
+        def block(f0, depth=depth):
+            res = pallas_trace_progressive(
+                scene, inv_p, inv_v, jnp.int32(f0),
+                jnp.float32(cam.focal_length),
+                jnp.float32(cam.aperture_diameter),
+                width=W, height=H, ray_depth=depth, spp=1, n_frames=F,
+                counts=(48, 7))
+            return jnp.sum(res.rad_sum), jnp.sum(res.ray_count)
+
+        s, r = block(0); _ = int(r)
+        ts, cs = [], []
+        for i in range(5):
+            t0 = time.time()
+            s, r = block((i + 1) * F)
+            cs.append(int(r))
+            ts.append(time.time() - t0)
+        med = float(np.median(ts))
+        print(f"depth {depth:2d}: {med/F*1e3:6.2f} ms/frame  "
+              f"segs {np.mean(cs)/F/1e6:5.2f}M/frame  "
+              f"({np.mean(cs)/med/1e6:5.0f} Mrays/s kernel-only)",
+              flush=True)
     return 0
 
 

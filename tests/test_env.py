@@ -205,3 +205,24 @@ def test_cubemap_seam_error_is_bounded_and_first_order():
     # seams are the worst case but stay within ~one texel's field variation:
     # comparable magnitude to interior bilinear error, not orders worse
     assert errs[16] < interior_errs[16] * 8
+
+
+def test_bf16_packed_block_table():
+    # opt-in half-width env table: bf16 pairs BIT-PACKED into f32 words
+    # ([N, 6] f32 = one 32-byte gather quantum per row instead of two);
+    # values match the f32 table to bf16 mantissa precision (~0.4%)
+    import numpy as np
+    import jax.numpy as jnp
+    from tpt.env import (default_skybox, pack_block_table,
+                         sample_environment_blocked)
+    faces = default_skybox(16)
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(3, 500)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    t32 = pack_block_table(faces)
+    t16 = pack_block_table(faces, dtype=jnp.bfloat16)
+    assert t16.shape == (t32.shape[0], 6) and t16.dtype == jnp.float32
+    a = np.asarray(sample_environment_blocked(t32, jnp.asarray(d)))
+    b = np.asarray(sample_environment_blocked(t16, jnp.asarray(d)))
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
+    assert rel.max() < 0.01

@@ -85,6 +85,12 @@ def _add_common_flags(p):
     p.add_argument("--env", default="atmosphere",
                    choices=["atmosphere", "constant", "cubemap", "skybox"])
     p.add_argument("--env-color", default="0.7,0.8,1.0")
+    p.add_argument("--env-bf16", action="store_true",
+                   help="half-width environment gather table (bf16 texels "
+                        "bit-packed in f32 words): ~12%% faster frames at "
+                        "~0.06%% mean image error (benchmarks/exp_env_bf16"
+                        ".py), below GL bilinear filter precision but "
+                        "outside the f32 oracle-parity contract")
     p.add_argument("--cubemap-files", default="",
                    help="6 comma-separated face images (+X,-X,+Y,-Y,+Z,-Z)")
     p.add_argument("--atmosphere-size", type=int, default=256)
@@ -143,7 +149,8 @@ def cmd_render(args) -> int:
         # for the interpreter-mode kernel on CPU, so specialize on TPU only
         counts = ((int(scene.num_spheres), int(scene.num_cuboids))
                   if jax.default_backend() == "tpu" else None)
-        env_table = pack_block_table(env_faces)
+        env_table = pack_block_table(
+            env_faces, dtype=jnp.bfloat16 if args.env_bf16 else jnp.float32)
         inv_p, inv_v, _ = camera_matrices(camera, cfg.width, cfg.height)
         focal = jnp.float32(camera.focal_length)
         aperture = jnp.float32(camera.aperture_diameter)

@@ -175,8 +175,16 @@ def sample_environment_planar(faces, direction3):
     return jnp.stack([channel(0), channel(1), channel(2)])
 
 
-def pack_block_table(faces) -> jnp.ndarray:
+def pack_block_table(faces, dtype=jnp.float32) -> jnp.ndarray:
     """Precompute the render-path environment table: f32[6*(S+2)^2, 12].
+
+    ``dtype=jnp.bfloat16`` halves the row to 24 bytes — ONE 32-byte gather
+    quantum instead of two, which halves the per-frame fetch cost at the
+    measured XLA:TPU row-gather floor (~3.3 vs 6.2 ns/row,
+    benchmarks/exp_gather_shapes.py).  Opt-in: env texels round to 8-bit
+    mantissa (~0.4% relative), below the reference's own GL bilinear
+    filtering precision but outside the f32 oracle-parity contract
+    (benchmarks/exp_env_bf16.py quantifies both).
 
     Row ``(face*(S+2) + y0)*(S+2) + x0`` holds the full bilinear footprint of
     the tap whose top-left padded texel is (y0, x0):
@@ -199,7 +207,17 @@ def pack_block_table(faces) -> jnp.ndarray:
     down = jnp.concatenate([padded[:, 1:], padded[:, -1:]], axis=1)
     downright = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
     blocks = jnp.concatenate([padded, right, down, downright], axis=-1)
-    return blocks.reshape(6 * pad * pad, 12)
+    blocks = blocks.reshape(6 * pad * pad, 12)
+    if dtype == jnp.bfloat16:
+        # BIT-PACK bf16 pairs into f32 words ([N, 6] f32 = 24-byte rows):
+        # a native bf16[N, 12] gather output gets a (2, 1)-packed padded
+        # layout on TPU (~10x memory expansion, measured) — f32 words keep
+        # the narrow row without the pathological layout
+        u = jax.lax.bitcast_convert_type(
+            blocks.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        words = u[:, 0::2] | (u[:, 1::2] << 16)
+        return jax.lax.bitcast_convert_type(words, jnp.float32)
+    return blocks.astype(dtype)
 
 
 def env_size_from_table(table) -> int:
@@ -211,10 +229,12 @@ def env_size_from_table(table) -> int:
 def sample_environment_blocked(table, direction3):
     """Bilinear cubemap lookup from a :func:`pack_block_table` table.
 
-    ``direction3``: f32[3, *batch].  Returns f32[3, *batch].  Bit-identical
-    to :func:`sample_environment_planar` on the same faces (same texels,
-    same weights, same operation order)."""
-    table = jnp.asarray(table, jnp.float32)
+    ``direction3``: f32[3, *batch].  Returns f32[3, *batch].  For an f32
+    table, bit-identical to :func:`sample_environment_planar` on the same
+    faces (same texels, same weights, same operation order).  A bf16 table
+    is gathered at its narrow width (that is the point — half the gather
+    quanta) and upcast AFTER the row fetch."""
+    table = jnp.asarray(table)
     size = env_size_from_table(table)
     pad = size + 2
 
@@ -231,13 +251,29 @@ def sample_environment_blocked(table, direction3):
 
     rows = (face * pad + y0) * pad + x0
     batch = rows.shape
-    block = table[rows.reshape(-1)]          # ONE [N, 12] row gather
+    # ONE row gather ([N, 12] f32, or [N, 6] bf16-pair-packed f32 — half
+    # the 32-byte gather quanta); unpack AFTER the fetch
+    block = table[rows.reshape(-1)]
+    if block.shape[1] == 6:   # bf16-packed (pack_block_table dtype=bf16)
+        w = jax.lax.bitcast_convert_type(block, jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            (w & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+            jnp.bfloat16).astype(jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            (w >> jnp.uint32(16)).astype(jnp.uint16),
+            jnp.bfloat16).astype(jnp.float32)
+
+        def val(k):
+            return (lo if k % 2 == 0 else hi)[:, k // 2].reshape(batch)
+    else:
+        def val(k):
+            return block[:, k].reshape(batch)
 
     def channel(c):
-        t00 = block[:, c].reshape(batch)
-        t01 = block[:, 3 + c].reshape(batch)
-        t10 = block[:, 6 + c].reshape(batch)
-        t11 = block[:, 9 + c].reshape(batch)
+        t00 = val(c)
+        t01 = val(3 + c)
+        t10 = val(6 + c)
+        t11 = val(9 + c)
         top = t00 * (1 - fx) + t01 * fx
         bot = t10 * (1 - fx) + t11 * fx
         return top * (1 - fy) + bot * fy

@@ -665,6 +665,195 @@ def trace_paths(trace_fn: TraceFn, cam: CameraParams,
     )
 
 
+class ProgressiveTraceResult(NamedTuple):
+    rad_sum: jax.Array     # f32[3, B]      emission radiance SUMMED over all frames
+    miss_dir: jax.Array    # f32[F*spp, 3, B]  escape dir per (frame, sample) slot
+    miss_thr: jax.Array    # f32[F*spp, 3, B]  throughput at escape per slot
+    ray_count: jax.Array   # i32[B]         traced segments, all frames
+    seed: jax.Array        # u32[B]         final RNG state (last started sample)
+
+
+def trace_progressive(trace_fn: TraceFn, cam: CameraParams,
+                      px, py, width: int, height: int, frame0,
+                      ray_depth: int, spp: int, n_frames: int,
+                      n_valid=None, jitter: str = "corner",
+                      russian_roulette: bool = True,
+                      iter_hook=None) -> ProgressiveTraceResult:
+    """Path-regeneration ("refill") sampling loop over ``n_frames``
+    progressive frames — the TPU answer to SIMT early-exit.
+
+    The per-frame kernel pays ``ray_depth`` masked bounces per sample even
+    though Russian roulette ends most paths after ~2.7 segments, and RR's
+    per-lane binomial tail keeps one straggler per 3072-lane tile alive to
+    depth ~15, so the all-dead tile skip never fires (r4 depth_sweep: ~13
+    of 22 ms per 1080p frame is dead-lane work).  Here each lane treats its
+    pixel's samples for ``n_frames`` consecutive frames as a QUEUE: the
+    moment its path ends (miss / RR death / depth), the lane flushes the
+    sample's results and starts the next sample on the very next iteration.
+    Dead-lane waste is only the FINAL tail, amortized over the whole block:
+    iterations ~ n_frames * E[segments] + tail instead of
+    n_frames * ray_depth (3-4x fewer at the demo scene's depth 13).
+
+    Equivalences vs ``n_frames`` sequential :func:`trace_paths` calls:
+      * integer-exact: the RNG stream (a frame's first sample reseeds from
+        pixel_seed(px, py, frame0 + f); later samples chain the running
+        seed), every discrete decision, the final seeds, and the per-lane
+        ray counts are identical — the paths traced are the same paths;
+      * float: radiance flushes into ``rad_sum`` in sample order and slot
+        ``f*spp + s`` of ``miss_dir``/``miss_thr`` matches
+        trace_paths(frame0 + f)'s sample-s record, to within last-ulp
+        rounding — the restructured program gives XLA different fusion
+        contexts for the same arithmetic (tests/test_refill.py pins both
+        properties: integers exact, floats at 2e-6).
+
+    ``n_valid``: optional traced i32 — frames ``f >= n_valid`` are skipped
+    entirely (their slots stay zero), letting a partial tail chunk reuse
+    the compiled program.  ``iter_hook(i, cond)``: test seam — called per
+    iteration with the would-run predicate (used to count live iterations).
+
+    The caller applies the environment per slot and folds the block into a
+    progressive accumulator as a single running mean:
+    ``acc' = (n0*acc + sum_f frame_f) / (n0 + F)`` — algebraically equal to
+    the reference's per-frame ``mix(last, new, 1/(frame+1))``
+    (compute.glsl:128), differing only in rounding order.
+    """
+    if jitter not in ("corner", "center"):
+        raise ValueError(f"jitter must be 'corner' or 'center', got {jitter!r}")
+    if n_valid is None:
+        n_valid = jnp.int32(n_frames)
+    n_slots = n_frames * spp
+    fpx = jnp.asarray(px, jnp.float32)
+    fpy = jnp.asarray(py, jnp.float32)
+
+    zero_lane = fpx * 0.0
+    zero_i = jnp.asarray(px, jnp.int32) * 0
+    zero_v3 = jnp.stack([zero_lane, zero_lane, zero_lane])
+
+    state = PathState(origin=zero_v3, direction=zero_v3 + 1.0,
+                      throughput=zero_v3, radiance=zero_v3,
+                      seed=zero_i.astype(jnp.uint32),
+                      alive=zero_i, miss_dir=zero_v3, miss_thr=zero_v3,
+                      ray_count=zero_i)
+    lane_frame = zero_i          # current frame index per lane
+    lane_sample = zero_i         # current sample within the frame
+    lane_bounce = zero_i         # bounces spent on the current sample
+    rad_sum = zero_v3
+    miss_dir = [zero_v3 for _ in range(n_slots)]
+    miss_thr = [zero_v3 for _ in range(n_slots)]
+    out_seed = zero_i.astype(jnp.uint32)
+
+    max_iters = n_frames * spp * ray_depth
+
+    def iteration(carry):
+        (state, lane_frame, lane_sample, lane_bounce, rad_sum,
+         miss_dir, miss_thr, out_seed) = carry
+        state, lane_frame, lane_sample, lane_bounce, done, slot = \
+            progressive_iteration(
+                trace_fn, cam, px, py, fpx, fpy, width, height, frame0,
+                ray_depth, spp, n_valid, jitter, russian_roulette,
+                state, lane_frame, lane_sample, lane_bounce)
+        # ---- flush completed samples into the (functional) slot lists ----
+        rad_sum = rad_sum + where3(done, state.radiance, state.radiance * 0.0)
+        miss_dir = [where3(done & (slot == k), state.miss_dir, miss_dir[k])
+                    for k in range(n_slots)]
+        miss_thr = [where3(done & (slot == k), state.miss_thr, miss_thr[k])
+                    for k in range(n_slots)]
+        out_seed = jnp.where(done, state.seed, out_seed)
+        return (state, lane_frame, lane_sample, lane_bounce, rad_sum,
+                miss_dir, miss_thr, out_seed)
+
+    carry = (state, lane_frame, lane_sample, lane_bounce, rad_sum,
+             miss_dir, miss_thr, out_seed)
+    for i in range(max_iters):
+        # skip whole iterations once every lane has drained its queue
+        # (cond(False) is the identity) — the amortized analogue of the
+        # per-frame kernel's all-dead tile skip
+        cond = jnp.any((carry[1] < n_valid))
+        if iter_hook is not None:
+            iter_hook(i, cond)
+        carry = jax.lax.cond(cond, iteration, lambda c: c, carry)
+
+    (state, lane_frame, lane_sample, lane_bounce, rad_sum,
+     miss_dir, miss_thr, out_seed) = carry
+    return ProgressiveTraceResult(
+        rad_sum=rad_sum,
+        miss_dir=jnp.stack(miss_dir),
+        miss_thr=jnp.stack(miss_thr),
+        ray_count=state.ray_count,
+        seed=out_seed,
+    )
+
+
+def progressive_iteration(trace_fn: TraceFn, cam: CameraParams, px, py,
+                          fpx, fpy, width: int, height: int, frame0,
+                          ray_depth: int, spp: int, n_valid,
+                          jitter: str, russian_roulette: bool,
+                          state: PathState, lane_frame, lane_sample,
+                          lane_bounce):
+    """One refill-loop iteration: restart ended lanes on their next queued
+    sample, bounce every live lane, mark completions, advance the queue.
+
+    Shared verbatim by the oracle (:func:`trace_progressive`) and the
+    Pallas kernel (tpt.kernels.trace, refill mode) so both execute the
+    same float operations in the same order — the kernel differs only in
+    how it stores the flushed per-sample results (VMEM output refs vs
+    functional lists).
+
+    Returns (state', lane_frame', lane_sample', lane_bounce', done, slot):
+    ``done`` lanes just completed a sample whose results are still readable
+    in ``state'`` (radiance / miss_dir / miss_thr / seed); ``slot`` is the
+    completed sample's flat index ``frame*spp + sample``; ``state'.alive``
+    is already cleared on them.  ``lane_frame``/``slot`` on done lanes are
+    post-/pre-advance respectively.
+    """
+    zero_v3 = state.origin * 0.0
+    has_work = lane_frame < n_valid
+
+    # ---- refill: start the next queued sample on lanes whose path ended.
+    # A frame's first sample reseeds from the pixel hash (the per-frame
+    # kernel contract, compute.glsl:106); later samples chain the running
+    # seed exactly like trace_paths's spp loop.
+    start = has_work & (state.alive == 0)
+    fresh = rng.pixel_seed(px, py, frame0 + lane_frame)
+    seed0 = jnp.where(start,
+                      jnp.where(lane_sample == 0, fresh, state.seed),
+                      state.seed)
+    draws, seed1 = sample_draws(seed0)
+    o, d = primary_ray(cam, fpx, fpy, width, height, draws, jitter)
+    state = PathState(
+        origin=where3(start, o, state.origin),
+        direction=where3(start, d, state.direction),
+        throughput=where3(start, zero_v3 + 1.0, state.throughput),
+        radiance=where3(start, zero_v3, state.radiance),
+        seed=jnp.where(start, seed1, state.seed),
+        # int constants below are lane-derived (x*0 + c): Mosaic infers
+        # literal splats as replicated-layout vectors and cannot unify them
+        # with the concrete-layout loop carry of the kernel's rolled loop
+        alive=jnp.where(start, state.alive * 0 + 1, state.alive),
+        miss_dir=where3(start, zero_v3, state.miss_dir),
+        miss_thr=where3(start, zero_v3, state.miss_thr),
+        ray_count=state.ray_count,
+    )
+    lane_bounce = jnp.where(start, lane_bounce * 0, lane_bounce)
+
+    # ---- one bounce on every live lane ----
+    state = bounce_step(state, trace_fn, russian_roulette)
+    lane_bounce = lane_bounce + has_work.astype(jnp.int32)
+
+    # ---- completion + queue advance ----
+    done = has_work & ((state.alive == 0) | (lane_bounce >= ray_depth))
+    slot = lane_frame * spp + lane_sample
+    last_sample = lane_sample == (spp - 1)
+    lane_frame = jnp.where(done & last_sample, lane_frame + 1, lane_frame)
+    lane_sample = jnp.where(done,
+                            jnp.where(last_sample, lane_sample * 0,
+                                      lane_sample + 1),
+                            lane_sample)
+    state = dataclasses.replace(
+        state, alive=jnp.where(done, state.alive * 0, state.alive))
+    return state, lane_frame, lane_sample, lane_bounce, done, slot
+
+
 def apply_environment(result: TraceResult, env_faces, spp: int):
     """Add the deferred environment term and average over spp.
 

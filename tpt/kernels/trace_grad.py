@@ -79,11 +79,12 @@ from ..integrator import (ATTR_COLS, ATTR_ROWS, CameraParams, PathState,
 from ..ops.intersect import FLOAT_MAX, ray_cuboid, ray_sphere, smallest_positive
 from .trace import DEFAULT_UNROLL, LANES, _scene_smem_arrays, _use_interpret
 
-# Backward tiles match the forward's 16 rows: with the attribute-major
-# one-hot layout the transposed bounce fits comfortably (r4 bisect:
-# 94.5 ms vs 99.3 ms at 8 rows for the full 1080p backward;
-# benchmarks/exp_bwd_bisect.py).
-DEFAULT_GRAD_TILE_ROWS = 16
+# Backward tile rows: 24 won the r5 sweep over {8, 16, 24, 32} at 1080p
+# (125.4 / 133.0 / 140.4 / 145.8 ms wall for 24/16/8/32 — full stores;
+# benchmarks/exp_bwd_stores.py, artifacts/bwd_stores_sweep.json).  The
+# same sweep measured the half_stores (even-bounce-store + odd-carry
+# recompute) policy net-negative at every tile size.
+DEFAULT_GRAD_TILE_ROWS = 24
 
 N_CAM = 20  # ip00,ip01,ip02,ip10,ip11,ip12, right, up, backward, eye, focal, aperture
 
@@ -151,7 +152,8 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, sphere_mat_ref,
                  s_widx, s_ins, s_dtbl,
                  *, width: int, height: int, ray_depth: int, spp: int,
                  counts: Tuple[int, int], unroll: int, jitter: str,
-                 rr: bool = True, ablate: str = "none"):
+                 rr: bool = True, ablate: str = "none",
+                 half_stores: bool = False):
     num_spheres, num_cuboids = counts
     frame = frame_ref[0]
     del unroll  # the value fold is a static Python unroll
@@ -288,15 +290,25 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, sphere_mat_ref,
         # tried and traded the store cost for pricier dynamic-j slab reads
         # in the reverse sweep — net negative, so the separate per-field
         # arrays stay.)
+        # half_stores (r5 experiment): only bounces 0, 2, 4, ... store
+        # their input carry; the reverse sweep recomputes an odd bounce j's
+        # carry with ONE extra bounce_from_hit from the stored carry at j-1
+        # and its stored hit record (bit-identical primal).  Halves scratch
+        # + store traffic for ~half a bounce eval per reverse step —
+        # MEASURED NET-NEGATIVE at 1080p (145.9 vs 126.6 ms/step: the
+        # recompute + per-step parity cond cost more than the stores), so
+        # the default stays full stores; kept selectable for the record
+        # (benchmarks/exp_bwd_stores.py).
         for k in range(ray_depth):
-            if ablate != "nostores":
-                s_orig[k] = state.origin
-                s_dir[k] = state.direction
-                s_thr[k] = state.throughput
-                s_md[k] = state.miss_dir
-                s_mt[k] = state.miss_thr
-                s_seed[k] = state.seed
-                s_alive[k] = state.alive
+            if ablate != "nostores" and (not half_stores or k % 2 == 0):
+                kk = k // 2 if half_stores else k
+                s_orig[kk] = state.origin
+                s_dir[kk] = state.direction
+                s_thr[kk] = state.throughput
+                s_md[kk] = state.miss_dir
+                s_mt[kk] = state.miss_thr
+                s_seed[kk] = state.seed
+                s_alive[kk] = state.alive
 
             def fwd_bounce(st, k=k):
                 found, idx, best_t, inside = fold(st.origin, st.direction)
@@ -327,15 +339,42 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, sphere_mat_ref,
         g_mt = gmisst_ref[s]
         s_dtbl[:] = table_t * 0.0
 
+        def load_carry(j):
+            """Bounce j's input carry: with full stores, a direct slab
+            read; with half_stores, read the even-store slab at j//2
+            (which holds bounce 2*(j//2) — j itself when j is even, j-1
+            when odd) and, for odd j, advance it one bounce from the
+            stored hit record."""
+            if not half_stores:
+                return (s_orig[j], s_dir[j], s_thr[j], s_md[j], s_mt[j],
+                        s_seed[j], s_alive[j])
+            jh = j // 2
+            base = (s_orig[jh], s_dir[jh], s_thr[jh], s_md[jh], s_mt[jh],
+                    s_seed[jh], s_alive[jh])
+
+            def advance(base):
+                o_b, d_b, th_b, md_b, mt_b, seed_b, alive_b = base
+                st = PathState(origin=o_b, direction=d_b, throughput=th_b,
+                               radiance=o_b * 0.0, seed=seed_b,
+                               alive=alive_b, miss_dir=md_b, miss_thr=mt_b,
+                               ray_count=alive_b * 0)
+                out = bounce_from_hit(table_t, st, s_widx[j - 1],
+                                      s_ins[j - 1] != 0)
+                return (out.origin, out.direction, out.throughput,
+                        out.miss_dir, out.miss_thr, out.seed, out.alive)
+
+            return jax.lax.cond(j % 2 == 1, advance, lambda b: b, base)
+
         def rev_body_primal(k, carry):
             # ablation: reverse walk re-running the bounce primal only
             j = ray_depth - 1 - k
-            st = PathState(origin=s_orig[j], direction=s_dir[j],
-                           throughput=s_thr[j], radiance=s_orig[j] * 0.0,
-                           seed=s_seed[j], alive=s_alive[j],
-                           miss_dir=s_md[j], miss_thr=s_mt[j],
-                           ray_count=s_alive[j] * 0)
-            out = jax.lax.cond(jnp.any(s_alive[j] != 0),
+            o_j, dir_j, th_j, md_j, mt_j, seed_j, alive_j = load_carry(j)
+            st = PathState(origin=o_j, direction=dir_j,
+                           throughput=th_j, radiance=o_j * 0.0,
+                           seed=seed_j, alive=alive_j,
+                           miss_dir=md_j, miss_thr=mt_j,
+                           ray_count=alive_j * 0)
+            out = jax.lax.cond(jnp.any(alive_j != 0),
                                lambda st: bounce_from_hit(table_t, st,
                                                           s_widx[j],
                                                           s_ins[j] != 0),
@@ -346,9 +385,7 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, sphere_mat_ref,
 
         def rev_body(k, carry):
             j = ray_depth - 1 - k
-            o_j, dir_j, th_j = s_orig[j], s_dir[j], s_thr[j]
-            md_j, mt_j = s_md[j], s_mt[j]
-            seed_j, alive_j = s_seed[j], s_alive[j]
+            o_j, dir_j, th_j, md_j, mt_j, seed_j, alive_j = load_carry(j)
             idx_j, ins_j = s_widx[j], s_ins[j]
 
             def transpose_bounce(carry):
@@ -404,7 +441,8 @@ def _grad_kernel(frame_ref, cam_ref, sphere_geom_ref, sphere_mat_ref,
 @functools.partial(jax.jit, static_argnames=("width", "height", "ray_depth",
                                              "spp", "tile_rows", "interpret",
                                              "counts", "unroll", "n_rows",
-                                             "jitter", "ablate", "rr"))
+                                             "jitter", "ablate", "rr",
+                                             "half_stores"))
 def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       aperture_diameter, g_rad, g_missd, g_misst,
                       *, width: int, height: int, ray_depth: int, spp: int,
@@ -414,7 +452,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
                       unroll: int = DEFAULT_UNROLL,
                       n_rows: int | None = None, row0=0,
                       jitter: str = "corner", ablate: str = "none",
-                      rr: bool = True):
+                      rr: bool = True, half_stores: bool = False):
     """Cotangents of pallas_trace's differentiable outputs.
 
     ``g_rad``: f32[3, n_rows, width]; ``g_missd``/``g_misst``:
@@ -479,13 +517,18 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
     table_spec = pl.BlockSpec((ATTR_COLS, ATTR_ROWS), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
 
-    v3_scr = pltpu.VMEM((ray_depth, 3, tile_rows, LANES), jnp.float32)
+    # with half_stores the carry slabs cover bounces 0, 2, 4, ... only
+    # (the reverse sweep recomputes odd carries — see _grad_kernel); the
+    # 1-int hit records stay per-bounce either way
+    depth_store = (ray_depth + 1) // 2 if half_stores else ray_depth
+    v3_scr = pltpu.VMEM((depth_store, 3, tile_rows, LANES), jnp.float32)
+    half_scr = lambda dt: pltpu.VMEM((depth_store, tile_rows, LANES), dt)
     lane_scr = lambda dt: pltpu.VMEM((ray_depth, tile_rows, LANES), dt)
 
     kernel = functools.partial(_grad_kernel, width=width, height=height,
                                ray_depth=ray_depth, spp=spp, counts=counts,
                                unroll=unroll, jitter=jitter, ablate=ablate,
-                               rr=rr)
+                               rr=rr, half_stores=half_stores)
     d_table, d_cam = pl.pallas_call(
         kernel,
         grid=grid,
@@ -497,7 +540,7 @@ def pallas_trace_grad(scene, inv_proj, inv_view, frame, focal_length,
             jax.ShapeDtypeStruct((N_CAM,), jnp.float32),
         ),
         scratch_shapes=[v3_scr, v3_scr, v3_scr, v3_scr, v3_scr,
-                        lane_scr(jnp.uint32), lane_scr(jnp.int32),
+                        half_scr(jnp.uint32), half_scr(jnp.int32),
                         lane_scr(jnp.int32), lane_scr(jnp.int32),
                         pltpu.VMEM((ATTR_COLS, ATTR_ROWS), jnp.float32)],
         # the transposed bounce body's live set exceeds the 16M default
