@@ -10,6 +10,7 @@ material tables) of a pixel-MSE loss on the demo scene:
 Usage: python benchmarks/train_bench.py [kernel|oracle] [--size WxH]
        [--out artifacts/train_bench.json]
 """
+import functools
 import json
 import os
 import sys
@@ -66,7 +67,7 @@ def main() -> int:
             err = img - target
             return jnp.mean(err * err)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(params, frame):
             loss, grads = jax.value_and_grad(loss_fn)(params, frame)
             return jax.tree.map(lambda p, g: p - 0.01 * g, params, grads), loss
@@ -76,12 +77,21 @@ def main() -> int:
         params, loss = step(params, jnp.int32(0))
         print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.5f}",
               flush=True)
+        # Measurement discipline (see PERF.md preamble): each host fetch
+        # costs ~30-40 ms of tunnel roundtrip, so steps are timed in
+        # chained blocks of K with ONE loss fetch per block — successive
+        # steps serialize on the params dependency, so block/K is the
+        # true steady-state step time (bench.py amortizes the same way).
+        K = 20
         ts = []
-        for i in range(5):
+        frame = 1
+        for _ in range(3):
             t0 = time.time()
-            params, loss = step(params, jnp.int32(i + 1))
-            _ = float(loss)
-            ts.append(time.time() - t0)
+            for _k in range(K):
+                params, loss = step(params, jnp.int32(frame))
+                frame += 1
+            _ = float(loss)  # sync
+            ts.append((time.time() - t0) / K)
         med_ms = float(np.median(ts)) * 1e3
         print(f"kernel bwd step: {med_ms:.1f} ms median "
               f"(loss {float(loss):.5f})", flush=True)

@@ -730,10 +730,16 @@ def main(argv=None) -> int:
                         "for the 'e' skybox toggle")
     p.add_argument("--panel", action="store_true",
                    help="open a widget control panel (ImGui-panel analogue)")
+    p.add_argument("--frames-per-draw", type=int, default=1,
+                   help="progressive frames folded into ONE device program "
+                        "per display update (the fused refill path; higher "
+                        "values amortize the per-draw host sync — try 8-30 "
+                        "on TPU)")
     args = p.parse_args(argv)
     files = args.cubemap_files.split(",") if args.cubemap_files else None
-    return run_viewer(args.scene, args.size, args.env, cubemap_files=files,
-                      panel=args.panel)
+    return run_viewer(args.scene, args.size, args.env,
+                      frames_per_draw=args.frames_per_draw,
+                      cubemap_files=files, panel=args.panel)
 
 
 if __name__ == "__main__":
