@@ -226,3 +226,66 @@ def test_bf16_packed_block_table():
     b = np.asarray(sample_environment_blocked(t16, jnp.asarray(d)))
     rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
     assert rel.max() < 0.01
+
+
+def test_seamless_padding_beats_clamp_at_seams():
+    """Opt-in seamless cubemap padding (GL seamless filtering analogue,
+    src/MainWindow.cs:168): the pad ring holds the ADJACENT face's edge
+    texels, so cross-face bilinear taps blend both faces.  For a smooth
+    directional field the seam error must drop well below the clamp
+    policy's, interior lookups must be unchanged, and the blocked table
+    must agree with the planar sampler under the same flag."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpt.env import (pack_block_table, sample_environment_blocked,
+                         sample_environment_planar)
+
+    S = 16
+
+    def field(d):
+        # smooth non-polynomial function of direction
+        return np.stack([np.sin(1.3 * d[..., 0] + 0.2 * d[..., 2]),
+                         np.cos(0.9 * d[..., 1] - 0.5 * d[..., 0]),
+                         np.sin(0.7 * d[..., 2] + 1.1 * d[..., 1])],
+                        axis=-1).astype(np.float32) * 0.5 + 0.5
+
+    # faces evaluated at texel centers
+    uv = (np.arange(S, dtype=np.float32) + 0.5) / S * 2.0 - 1.0
+    sc, tc = np.meshgrid(uv, uv, indexing="xy")
+    one = np.ones_like(sc)
+    dirs = np.stack([
+        np.stack([one, -tc, -sc], -1), np.stack([-one, -tc, sc], -1),
+        np.stack([sc, one, tc], -1), np.stack([sc, -one, -tc], -1),
+        np.stack([sc, -tc, one], -1), np.stack([-sc, -tc, -one], -1)])
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    faces = jnp.asarray(field(dirs))
+
+    # sample directions concentrated at the +X/+Y seam
+    rng = np.random.default_rng(7)
+    x = np.abs(rng.normal(1.0, 0.02, 400))
+    y = np.abs(rng.normal(1.0, 0.02, 400))
+    z = rng.uniform(-0.5, 0.5, 400)
+    d = np.stack([x, y, z]).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    truth = field(np.moveaxis(d, 0, -1)).T
+
+    clamp = np.asarray(sample_environment_planar(faces, jnp.asarray(d)))
+    seam = np.asarray(sample_environment_planar(faces, jnp.asarray(d),
+                                                seamless=True))
+    err_clamp = np.abs(clamp - truth).max()
+    err_seam = np.abs(seam - truth).max()
+    assert err_seam < err_clamp * 0.55, (err_seam, err_clamp)
+
+    # interior directions: both policies identical
+    di = np.stack([np.full(64, 1.0), rng.uniform(-0.5, 0.5, 64),
+                   rng.uniform(-0.5, 0.5, 64)]).astype(np.float32)
+    di /= np.linalg.norm(di, axis=0, keepdims=True)
+    a = np.asarray(sample_environment_planar(faces, jnp.asarray(di)))
+    b = np.asarray(sample_environment_planar(faces, jnp.asarray(di),
+                                             seamless=True))
+    np.testing.assert_array_equal(a, b)
+
+    # blocked table agrees with the planar sampler under the same flag
+    tbl = pack_block_table(faces, seamless=True)
+    c = np.asarray(sample_environment_blocked(tbl, jnp.asarray(d)))
+    np.testing.assert_allclose(c, seam, rtol=1e-6, atol=1e-7)

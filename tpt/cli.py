@@ -85,6 +85,13 @@ def _add_common_flags(p):
     p.add_argument("--env", default="atmosphere",
                    choices=["atmosphere", "constant", "cubemap", "skybox"])
     p.add_argument("--env-color", default="0.7,0.8,1.0")
+    p.add_argument("--env-seamless", action="store_true",
+                   help="GL-seamless cubemap filtering analogue (the "
+                        "reference enables seamless mode, MainWindow.cs"
+                        ":168): pad the env table with adjacent-face edge "
+                        "texels so cross-face taps blend both faces — "
+                        "zero runtime cost, changes border-texel values "
+                        "vs the default clamp policy")
     p.add_argument("--env-bf16", action="store_true",
                    help="half-width environment gather table (bf16 texels "
                         "bit-packed in f32 words): ~12%% faster frames at "
@@ -150,7 +157,8 @@ def cmd_render(args) -> int:
         counts = ((int(scene.num_spheres), int(scene.num_cuboids))
                   if jax.default_backend() == "tpu" else None)
         env_table = pack_block_table(
-            env_faces, dtype=jnp.bfloat16 if args.env_bf16 else jnp.float32)
+            env_faces, dtype=jnp.bfloat16 if args.env_bf16 else jnp.float32,
+            seamless=args.env_seamless)
         inv_p, inv_v, _ = camera_matrices(camera, cfg.width, cfg.height)
         focal = jnp.float32(camera.focal_length)
         aperture = jnp.float32(camera.aperture_diameter)

@@ -77,14 +77,55 @@ def cubemap_face_uv(direction):
     return cubemap_face_uv_planar(d[..., 0], d[..., 1], d[..., 2])
 
 
-def pad_faces_for_sampling(faces):
-    """Edge-replicate faces to f32[6, S+2, S+2, 3].
+def _pad_seamless(faces):
+    """Pad ring filled with the ADJACENT face's edge texels, computed by
+    extending each face's (s, t) grid one texel beyond [0, 1], converting
+    to a direction (the inverse of :func:`cubemap_face_uv_planar`), and
+    nearest-sampling the cubemap — adjacency and edge orientation come
+    out correct by construction, no 24-edge case table.  A bilinear tap
+    straddling a seam then lerps between the two faces' edge texels: the
+    GL seamless-cubemap behavior (the reference enables it at
+    src/MainWindow.cs:168).  Corners pick one of the three adjacent
+    texels (GL averages them) — a sub-texel difference at 8 texels."""
+    faces = jnp.asarray(faces, jnp.float32)
+    size = faces.shape[1]
+    centers = (jnp.arange(size + 2, dtype=jnp.float32) - 1.0 + 0.5) / size
+    t_grid, s_grid = jnp.meshgrid(centers, centers, indexing="ij")
+    sc = 2.0 * s_grid - 1.0
+    tc = 2.0 * t_grid - 1.0
+    one = jnp.ones_like(sc)
+    face_dirs = {  # face -> (dx, dy, dz); inverse of cubemap_face_uv
+        FACE_POS_X: (one, -tc, -sc), FACE_NEG_X: (-one, -tc, sc),
+        FACE_POS_Y: (sc, one, tc), FACE_NEG_Y: (sc, -one, -tc),
+        FACE_POS_Z: (sc, -tc, one), FACE_NEG_Z: (-sc, -tc, -one)}
+    out = []
+    for f in range(6):
+        dx, dy, dz = face_dirs[f]
+        fi, s_i, t_i = cubemap_face_uv_planar(dx, dy, dz)
+        xi = jnp.clip(jnp.floor(s_i * size).astype(jnp.int32), 0, size - 1)
+        yi = jnp.clip(jnp.floor(t_i * size).astype(jnp.int32), 0, size - 1)
+        out.append(faces[fi, yi, xi])
+    padded = jnp.stack(out)
+    # interior texels stay exact (no round trip through the face math)
+    return padded.at[:, 1:-1, 1:-1].set(faces)
 
-    With one duplicated texel ring, a clamp-to-edge bilinear tap becomes a
-    single contiguous (2, 2) block fetch — one gather per pixel instead of
-    four.  TPU gathers cost per *row*, so this is ~4x cheaper, and the
-    result is exactly equal to four clamped taps (the duplicated ring makes
-    the out-of-range neighbor coincide with the clamped texel)."""
+
+def pad_faces_for_sampling(faces, seamless: bool = False):
+    """Pad faces to f32[6, S+2, S+2, 3] with a one-texel ring.
+
+    With the ring, a bilinear tap becomes a single contiguous (2, 2)
+    block fetch — one gather per pixel instead of four (TPU gathers cost
+    per *row*, so this is ~4x cheaper).
+
+    ``seamless=False`` (default): edge-replicate — exactly equal to four
+    clamp-to-edge taps, the documented clamp seam policy the oracle
+    parity contract is built on.  ``seamless=True``: fill the ring from
+    the adjacent faces (see :func:`_pad_seamless`) so cross-face taps
+    blend like GL's seamless cubemap filtering — zero runtime cost (the
+    sample paths are unchanged), opt-in because it changes values in the
+    border texel band."""
+    if seamless:
+        return _pad_seamless(faces)
     faces = jnp.asarray(faces, jnp.float32)
     return jnp.pad(faces, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
 
@@ -129,7 +170,7 @@ def sample_environment(faces, direction):
     return sample_environment_padded(pad_faces_for_sampling(faces), direction)
 
 
-def sample_environment_planar(faces, direction3):
+def sample_environment_planar(faces, direction3, seamless: bool = False):
     """Bilinear cubemap lookup in channel-first layout.
 
     ``faces``: f32[6, S, S, 3]; ``direction3``: f32[3, *batch].
@@ -145,8 +186,7 @@ def sample_environment_planar(faces, direction3):
     # planar field or a flat vector, the shapes XLA:TPU gathers at HBM speed.
     # A (…, 2, 2, 3)-block gather materializes minor-dim-padded layouts and
     # measures ~5 orders of magnitude slower here.
-    table = jnp.pad(faces, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    mode="edge").reshape(-1)
+    table = pad_faces_for_sampling(faces, seamless=seamless).reshape(-1)
 
     face, s, t = cubemap_face_uv_planar(direction3[0], direction3[1],
                                         direction3[2])
@@ -175,7 +215,8 @@ def sample_environment_planar(faces, direction3):
     return jnp.stack([channel(0), channel(1), channel(2)])
 
 
-def pack_block_table(faces, dtype=jnp.float32) -> jnp.ndarray:
+def pack_block_table(faces, dtype=jnp.float32,
+                     seamless: bool = False) -> jnp.ndarray:
     """Precompute the render-path environment table: f32[6*(S+2)^2, 12].
 
     ``dtype=jnp.bfloat16`` halves the row to 24 bytes — ONE 32-byte gather
@@ -198,7 +239,7 @@ def pack_block_table(faces, dtype=jnp.float32) -> jnp.ndarray:
     load) — the reference's analogue is re-uploading the cubemap texture.
     """
     faces = jnp.asarray(faces, jnp.float32)
-    padded = jnp.pad(faces, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    padded = pad_faces_for_sampling(faces, seamless=seamless)
     pad = padded.shape[1]
     # neighbor-at-clamp: the last row/col duplicates itself, matching the
     # clamp in sample_environment_planar (x0+1 <= size+1 always in-range,
