@@ -25,6 +25,7 @@ def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "kernel"
     size = "1920x1080"
     out = None
+    env_bf16 = "--env-bf16" in sys.argv
     for a in sys.argv[2:]:
         if a.startswith("--size"):
             size = a.split("=")[1]
@@ -46,7 +47,8 @@ def main() -> int:
     scene = demo_scene().build()
     inv_p, inv_v, _ = camera_matrices(cam, width, height)
     env = constant_environment((0.7, 0.8, 1.0))
-    env_table = pack_block_table(env)
+    env_table = pack_block_table(
+        env, dtype=jnp.bfloat16 if env_bf16 else jnp.float32)
     focal = jnp.float32(cam.focal_length)
     aperture = jnp.float32(cam.aperture_diameter)
     target = jnp.zeros((height, width, 3), jnp.float32) + 0.25
@@ -100,6 +102,7 @@ def main() -> int:
             with open(out, "w") as f:
                 json.dump({
                     "metric": "train_step_1080p_kernel",
+                    "env_bf16": env_bf16,
                     "size": size, "ray_depth": ray_depth, "spp": spp,
                     "median_step_ms": round(med_ms, 1),
                     "loss_last": float(loss),
