@@ -43,6 +43,25 @@ import numpy as np
 from .config import AtmosphereConfig, CameraConfig, RenderConfig
 
 
+_display_u8_jit = None
+
+
+def _display_u8(image):
+    """On-device tonemap + 8-bit quantize for the viewer (lazy-jitted)."""
+    global _display_u8_jit
+    if _display_u8_jit is None:
+        import jax
+        import jax.numpy as jnp
+        from .postfx import post_process
+
+        def f(img):
+            return (jnp.clip(post_process(img), 0.0, 1.0) * 255.0
+                    + 0.5).astype(jnp.uint8)
+
+        _display_u8_jit = jax.jit(f)
+    return _display_u8_jit(image)
+
+
 class ViewerSession:
     """The reference app's mutable runtime state, functional-core style:
     scene/env/camera/accumulator plus one method per GUI control."""
@@ -324,13 +343,16 @@ class ViewerSession:
         """Fold ``n_frames`` progressive frames into the accumulator in ONE
         device program (the production fused path: Pallas trace -> blocked
         env gather -> donated accumulate, kernels.render.progressive_frames)
-        and return the display (post-processed sRGB) image as a numpy array.
-        One launch + one host sync per draw — the same per-frame cost
-        profile as the reference's render loop (src/MainWindow.cs:40-69)."""
+        and return the display image as a uint8 numpy array.  One launch +
+        one host sync per draw — the same per-frame cost profile as the
+        reference's render loop (src/MainWindow.cs:40-69).  The tonemap +
+        8-bit quantization happen ON DEVICE (the reference's display
+        surface is 8-bit RGBA8 too, ScreenEffect.cs:24) so the per-draw
+        host fetch moves a quarter of the bytes — which IS the draw cost
+        on a remote-tunnel TPU."""
         import jax.numpy as jnp
         from .camera import camera_matrices
         from .kernels.render import progressive_frames
-        from .postfx import post_process
         cam_cfg = self.cam.to_config(self.base_cam)
         inv_p, inv_v, _pos = camera_matrices(cam_cfg, self.cfg.width,
                                              self.cfg.height)
@@ -343,7 +365,7 @@ class ViewerSession:
             counts=self._static_counts(), n_frames=n_frames,
             jitter=self.cfg.jitter)
         self._frame_host += n_frames
-        return np.asarray(post_process(self.acc.image))
+        return np.asarray(_display_u8(self.acc.image))
 
     def screenshot(self) -> str:
         from .postfx import post_process
