@@ -22,6 +22,10 @@ to a live action:
                          'm' randomizes its material, '<'/'>' scales
                          specular chance with the reference's cross-clamp
                          (spec + refr <= 1, Gui.cs:193,205)
+  window chrome       -> 'V' v-sync analogue (~60 Hz loop cap),
+                         F11 fullscreen, 'E' cursor-capture analogue
+                         (free-look: bare mouse motion steers)
+                         (src/MainWindow.cs:98-123)
 
 All state and edit logic live in :class:`ViewerSession` (pure host code —
 unit-tested headless in tests/test_interactive.py); matplotlib is only the
@@ -638,7 +642,29 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
     key_map = {"w": "w", "a": "a", "s": "s", "d": "d",
                "shift": "shift", "control": "ctrl"}
     drag = {"pos": None, "moved": False, "delta": (0.0, 0.0)}
+    # window-chrome toggles (src/MainWindow.cs:98-123): 'V' = v-sync
+    # analogue (cap the loop at ~60 Hz), F11 = fullscreen, 'E' = cursor
+    # capture analogue (free-look: mouse motion steers without dragging)
+    chrome = {"vsync": False, "freelook": False, "last_xy": None}
+
+    def toggle_fullscreen():
+        mgr = fig.canvas.manager
+        if hasattr(mgr, "full_screen_toggle"):
+            mgr.full_screen_toggle()
+
+    def toggle_freelook():
+        chrome["freelook"] = not chrome["freelook"]
+        chrome["last_xy"] = None
+        print("free-look", "on" if chrome["freelook"] else "off")
+
+    def toggle_vsync():
+        chrome["vsync"] = not chrome["vsync"]
+        print("vsync cap", "on" if chrome["vsync"] else "off")
+
     actions = {
+        "V": toggle_vsync,
+        "f11": toggle_fullscreen,
+        "E": toggle_freelook,
         "p": lambda: print("wrote", ses.screenshot()),
         "r": ses.invalidate,
         "R": ses.reload_scene,
@@ -683,7 +709,19 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
             drag["moved"] = False
 
     def on_motion(event):
-        if drag["pos"] is None or event.x is None:
+        if event.x is None:
+            return
+        if chrome["freelook"] and drag["pos"] is None:
+            # cursor-captured look: steer from bare mouse motion ('E',
+            # the reference's CursorVisible toggle)
+            if chrome["last_xy"] is not None:
+                dx = event.x - chrome["last_xy"][0]
+                dy = event.y - chrome["last_xy"][1]
+                drag["delta"] = (drag["delta"][0] + dx,
+                                 drag["delta"][1] - dy)
+            chrome["last_xy"] = (event.x, event.y)
+            return
+        if drag["pos"] is None:
             return
         dx = event.x - drag["pos"][0]
         dy = event.y - drag["pos"][1]
@@ -738,7 +776,9 @@ def run_viewer(scene_name: str = "demo", size: int = 256,
                         f"f/{ses.f_number:.1f}   "
                         f"atmo {ses.atmosphere_ms:.0f} ms")
         fig.canvas.draw_idle()
-        plt.pause(0.001)
+        # v-sync analogue: cap the loop near 60 Hz when toggled on ('V')
+        plt.pause(max(0.001, 1.0 / 60.0 - (time.time() - now))
+                  if chrome["vsync"] else 0.001)
     return 0
 
 
