@@ -289,3 +289,22 @@ def test_seamless_padding_beats_clamp_at_seams():
     tbl = pack_block_table(faces, seamless=True)
     c = np.asarray(sample_environment_blocked(tbl, jnp.asarray(d)))
     np.testing.assert_allclose(c, seam, rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_and_seamless_compose():
+    # the two opt-in table options stack: seamless ring + bf16 packing
+    import numpy as np
+    import jax.numpy as jnp
+    from tpt.env import (default_skybox, pack_block_table,
+                         sample_environment_blocked,
+                         sample_environment_planar)
+    faces = default_skybox(16)
+    d = np.random.default_rng(9).normal(size=(3, 200)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    tbl = pack_block_table(faces, dtype=jnp.bfloat16, seamless=True)
+    assert tbl.shape[1] == 6
+    got = np.asarray(sample_environment_blocked(tbl, jnp.asarray(d)))
+    want = np.asarray(sample_environment_planar(faces, jnp.asarray(d),
+                                                seamless=True))
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+    assert rel.max() < 0.01  # bf16 mantissa only
