@@ -294,3 +294,45 @@ def test_banded_psum_grads_match_single_psum():
     with pytest.raises(ValueError):
         make_train_step(make_mesh(dp=4, sp=2), cfg, counts=(4, 5),
                         psum_bands=3)  # 4 local rows not divisible by 3
+
+
+def test_dist_progressive_matches_single_chip():
+    """The sharded progressive block renderer (refill kernel per row band,
+    frames sharded over sp) must reproduce the single-chip refill block to
+    psum-reorder tolerance, and fold the running mean identically."""
+    from tpt import init_accumulator
+    from tpt.env import pack_block_table
+    from tpt.kernels.render import progressive_frames
+    from tpt.parallel import make_dist_progressive
+    cam, scene, inv_p, inv_v, pos, env = setup(width=128, height=16)
+    cfg = RenderConfig(width=128, height=16, ray_depth=3, spp=1)
+    table = pack_block_table(env)
+    F = 4
+
+    single = init_accumulator(16, 128)
+    single, rays_s = progressive_frames(
+        single, scene, table, inv_p, inv_v, jnp.int32(0),
+        jnp.float32(cam.focal_length), jnp.float32(cam.aperture_diameter),
+        width=128, height=16, ray_depth=3, spp=1, n_frames=F, refill=True)
+
+    mesh = make_mesh(dp=4, sp=2)
+    render = make_dist_progressive(mesh, cfg, n_frames=F, tile_rows=8)
+    acc = init_accumulator(16, 128)
+    acc, rays = render(acc, scene, table, inv_p, inv_v, cam.focal_length,
+                       cam.aperture_diameter, 0)
+    assert int(rays) == int(rays_s)
+    assert int(acc.frame) == F
+    np.testing.assert_allclose(np.asarray(acc.image),
+                               np.asarray(single.image),
+                               rtol=1e-5, atol=1e-6)
+
+    # a second block continues the running mean identically
+    single, _ = progressive_frames(
+        single, scene, table, inv_p, inv_v, jnp.int32(F),
+        jnp.float32(cam.focal_length), jnp.float32(cam.aperture_diameter),
+        width=128, height=16, ray_depth=3, spp=1, n_frames=F, refill=True)
+    acc, _ = render(acc, scene, table, inv_p, inv_v, cam.focal_length,
+                    cam.aperture_diameter, F)
+    np.testing.assert_allclose(np.asarray(acc.image),
+                               np.asarray(single.image),
+                               rtol=1e-5, atol=1e-6)

@@ -151,6 +151,83 @@ def make_dist_renderer(mesh: Mesh, cfg: RenderConfig, n_sample_groups: int = Non
     return render
 
 
+def make_dist_progressive(mesh: Mesh, cfg: RenderConfig, n_frames: int,
+                          tile_rows: int | None = None):
+    """Sharded PROGRESSIVE block renderer — the multi-chip twin of
+    kernels.render.progressive_frames(refill=True).
+
+    Each device folds a block of frames into its pixel-row band in ONE
+    program: the path-regeneration kernel traces its band's sample queues
+    (row0/n_rows mode), the blocked env gather runs per (frame, sample)
+    slot, and the band accumulator updates in place (donated).  The 'sp'
+    axis shards the BLOCK's frames: shard s renders the contiguous
+    sub-block [frame0 + s*F/sp, ...) and the per-pixel frame sums meet in
+    one psum-mean — identical estimator to the single-chip block (seeds
+    depend only on absolute pixel coords and frame indices), differing
+    only in psum summation order (ulp).
+
+    Returns jit(fn)(accum, scene, env_table, inv_proj, inv_view, focal,
+    aperture, frame0) -> (accum', rays) with ``accum`` donated.
+    ``n_frames`` must divide by sp.
+    """
+    from ..kernels.trace import DEFAULT_TILE_ROWS, pallas_trace_progressive
+    from ..progressive import AccumulatorState
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    if n_frames % sp:
+        raise ValueError(f"n_frames {n_frames} must divide by sp={sp}")
+    f_loc = n_frames // sp
+    hpad = _pad_rows(cfg.height, dp)
+    rows_local = hpad // dp
+    width, height, ray_depth, spp = cfg.width, cfg.height, cfg.ray_depth, cfg.spp
+    counts = cfg.static_counts
+    jitter = cfg.jitter
+    tile_rows = tile_rows or min(DEFAULT_TILE_ROWS, rows_local)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("dp", None, None), P(), P(), P(), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P("dp", None, None), P()),
+    )
+    def block(acc_band, scene, env_table, inv_proj, inv_view, focal,
+              aperture, frame0, n0):
+        from ..env import sample_environment_blocked
+        dp_idx = jax.lax.axis_index("dp")
+        sp_idx = jax.lax.axis_index("sp")
+        y0 = dp_idx * rows_local
+        res = pallas_trace_progressive(
+            scene, inv_proj, inv_view, frame0 + sp_idx * f_loc, focal,
+            aperture, width=width, height=height, ray_depth=ray_depth,
+            spp=spp, n_frames=f_loc, counts=counts, n_rows=rows_local,
+            row0=y0, jitter=jitter, tile_rows=tile_rows)
+        total = res.rad_sum
+        for k in range(f_loc * spp):
+            envc = sample_environment_blocked(env_table, res.miss_dir[k])
+            total = total + res.miss_thr[k] * envc
+        total = jax.lax.psum(total, "sp")
+        image = jnp.moveaxis(total, 0, -1) / np.float32(spp)
+        nf = np.float32(n_frames)
+        acc_band = (acc_band * n0 + image) / (n0 + nf)
+        rays = jax.lax.psum(jnp.sum(res.ray_count), ("dp", "sp"))
+        return acc_band, rays
+
+    @functools.partial(jax.jit, donate_argnames=("accum",))
+    def render_block(accum: AccumulatorState, scene, env_table, inv_proj,
+                     inv_view, focal, aperture, frame0):
+        pad = hpad - height
+        img = jnp.pad(accum.image, ((0, pad), (0, 0), (0, 0)))
+        n0 = accum.frame.astype(jnp.float32)
+        img, rays = block(img, scene, env_table, inv_proj, inv_view,
+                          jnp.float32(focal), jnp.float32(aperture),
+                          jnp.int32(frame0), n0)
+        return (AccumulatorState(image=img[:height],
+                                 frame=accum.frame + n_frames), rays)
+
+    return render_block
+
+
 def trainable_filter_grads(grads: Scene) -> Scene:
     """Zero gradients for non-optimizable scene leaves (counts, geometry
     pads): inverse rendering here optimizes the material tables."""
