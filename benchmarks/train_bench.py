@@ -74,7 +74,59 @@ def main() -> int:
             loss, grads = jax.value_and_grad(loss_fn)(params, frame)
             return jax.tree.map(lambda p, g: p - 0.01 * g, params, grads), loss
 
+        # --scan: fuse K optimizer steps into ONE device program with
+        # lax.fori_loop (a production training loop runs fused step
+        # blocks anyway) — removes the per-step dispatch RPC that the
+        # chained-dispatch mode still pays through the tunnel.
+        scan_k = 0
+        for a in sys.argv[2:]:
+            if a.startswith("--scan"):
+                scan_k = int(a.split("=")[1]) if "=" in a else 20
+
         params = (scene.sphere_material, scene.cuboid_material)
+        if scan_k:
+            import jax.lax as lax
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnums=(2,))
+            def step_block(params, frame0, k):
+                def body(i, carry):
+                    p, _ = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(p, frame0 + i)
+                    p = jax.tree.map(lambda a, g: a - 0.01 * g, p, grads)
+                    return p, loss
+                return lax.fori_loop(0, k, body, (params, jnp.float32(0)))
+
+            t0 = time.time()
+            params, loss = step_block(params, jnp.int32(0), scan_k)
+            print(f"compile+first block: {time.time()-t0:.1f}s "
+                  f"loss={float(loss):.5f}", flush=True)
+            ts = []
+            frame = scan_k
+            for _ in range(3):
+                t0 = time.time()
+                params, loss = step_block(params, jnp.int32(frame), scan_k)
+                frame += scan_k
+                _ = float(loss)
+                ts.append((time.time() - t0) / scan_k)
+            med_ms = float(np.median(ts)) * 1e3
+            print(f"kernel bwd step (fori_loop x{scan_k}): {med_ms:.1f} ms "
+                  f"median (loss {float(loss):.5f})", flush=True)
+            if out:
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                with open(out, "w") as f:
+                    json.dump({
+                        "metric": "train_step_1080p_kernel_scan",
+                        "env_bf16": env_bf16, "scan_k": scan_k,
+                        "size": size, "ray_depth": ray_depth, "spp": spp,
+                        "median_step_ms": round(med_ms, 1),
+                        "loss_last": float(loss),
+                        "config": "fori_loop-fused step block: Pallas fwd + "
+                                  "in-kernel reverse-sweep bwd + SGD, "
+                                  "demo scene",
+                    }, f, indent=1)
+            return 0
+
         t0 = time.time()
         params, loss = step(params, jnp.int32(0))
         print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.5f}",
